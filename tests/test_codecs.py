@@ -1,0 +1,81 @@
+"""Codec frontend tests: round-trip shape/range/monotonic-quality properties
+(the unit-test strategy SURVEY.md §4 prescribes for the codec layer)."""
+
+import numpy as np
+import pytest
+
+from ddpm_image_restoration_tpu.codecs import pil_codecs
+from ddpm_image_restoration_tpu.codecs.quality import (
+    init_timestep_for_quality,
+    quality_for_timestep,
+    sample_quality_range,
+)
+from ddpm_image_restoration_tpu.config import get_preset
+
+CODECS = ["jpeg", "webp"] + (["avif"] if pil_codecs.avif_available() else [])
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_roundtrip_shape_range(codec, small_images):
+    out = pil_codecs.compress_batch(small_images, codec, 50)
+    assert out.shape == small_images.shape
+    assert out.dtype == np.float32
+    assert out.min() >= -1.0 - 1e-6 and out.max() <= 1.0 + 1e-6
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_quality_monotonic(codec, small_images):
+    """Higher quality => lower (or equal) mean distortion."""
+    errs = []
+    for q in [5, 30, 95]:
+        out = pil_codecs.compress_batch(small_images, codec, q)
+        errs.append(float(np.mean((out - small_images) ** 2)))
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < 0.01  # q=95 should be near-lossless
+
+
+def test_per_image_quality(small_images):
+    qs = np.array([5, 30, 60, 95])
+    out = pil_codecs.compress_batch(small_images, "jpeg", qs)
+    errs = [float(np.mean((out[i] - small_images[i]) ** 2)) for i in range(4)]
+    assert errs[0] > errs[3]
+
+
+def test_single_image_squeeze(small_images):
+    out = pil_codecs.compress_batch(small_images[0], "jpeg", 50)
+    assert out.shape == small_images[0].shape
+
+
+def test_quality_clamps():
+    p_webp, p_jpeg = get_preset("webp"), get_preset("jpeg")
+    assert p_webp.clamp_quality(-5) == 0      # webp_training.py:85
+    assert p_jpeg.clamp_quality(-5) == 1
+    assert p_jpeg.clamp_quality(1000) == 100
+
+
+def test_quality_for_timestep():
+    # q = clamp(min + (max-min)(1 - t/steps)) — webp_training.py:503
+    t = np.array([1, 50, 99])
+    q = quality_for_timestep(t, 100, (0, 40))
+    assert q[0] > q[1] > q[2]
+    assert q.min() >= 0 and q.max() <= 100
+
+
+def test_init_timestep_clamps():
+    p = get_preset("webp")
+    assert init_timestep_for_quality(90, 100, p) == 20   # clamped up
+    assert init_timestep_for_quality(0, 100, p) == 80    # clamped down
+    p_avif = get_preset("avif")
+    assert init_timestep_for_quality(90, 100, p_avif) == 15
+    assert init_timestep_for_quality(1, 100, p_avif) == 75
+
+
+def test_curriculum_distribution(rng):
+    p = get_preset("webp")
+    early = [sample_quality_range(rng, 0, p) for _ in range(500)]
+    late = [sample_quality_range(rng, 100, p) for _ in range(500)]
+    frac_high_early = np.mean([r == (70, 100) for r in early])
+    frac_high_late = np.mean([r == (70, 100) for r in late])
+    assert 0.2 < frac_high_early < 0.4      # P=0.3 at epoch 0
+    assert 0.6 < frac_high_late < 0.8       # P=0.7 at epoch>=100
+    assert any(r[0] == 0 for r in early)    # WebP low range starts at 0

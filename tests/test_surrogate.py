@@ -1,0 +1,89 @@
+"""On-device codec surrogate tests: DCT orthonormality (golden-value), quality
+monotonicity, differentiability, and proximity to the real codec."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_image_restoration_tpu.codecs import pil_codecs
+from ddpm_image_restoration_tpu.codecs.surrogate import (
+    block_dct2,
+    block_idct2,
+    codec_surrogate,
+    dct_matrix,
+    rgb_to_ycbcr,
+    ycbcr_to_rgb,
+)
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_dct_matrix_orthonormal(n):
+    d = dct_matrix(n)
+    np.testing.assert_allclose(d @ d.T, np.eye(n), atol=1e-5)
+
+
+def test_block_dct_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+    coeffs = block_dct2(x, 4)
+    assert coeffs.shape == (2, 4, 4, 4, 4)
+    back = block_idct2(coeffs, 16, 16)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_dct_dc_coefficient(rng):
+    """DC coeff of an orthonormal DCT of a constant block = const * block_size."""
+    x = jnp.ones((1, 8, 8), jnp.float32) * 3.0
+    coeffs = np.asarray(block_dct2(x, 8))
+    assert abs(coeffs[0, 0, 0, 0, 0] - 3.0 * 8) < 1e-4
+    assert np.abs(coeffs[0, 0, 0]).sum() - abs(coeffs[0, 0, 0, 0, 0]) < 1e-4
+
+
+def test_color_roundtrip(rng):
+    x = jnp.asarray(rng.uniform(0, 1, size=(4, 4, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(ycbcr_to_rgb(rgb_to_ycbcr(x))), np.asarray(x), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("codec", ["jpeg", "webp", "avif"])
+def test_surrogate_monotone_and_bounded(codec, small_images):
+    x = jnp.asarray(small_images)
+    errs = []
+    for q in [5, 30, 95]:
+        out = codec_surrogate(x, jnp.float32(q), codec=codec)
+        assert out.shape == x.shape
+        assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-5
+        errs.append(float(jnp.mean((out - x) ** 2)))
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_surrogate_per_sample_quality(small_images):
+    x = jnp.asarray(small_images)
+    q = jnp.asarray([5.0, 30.0, 60.0, 95.0])
+    out = codec_surrogate(x, q, codec="jpeg")
+    errs = [float(jnp.mean((out[i] - x[i]) ** 2)) for i in range(4)]
+    assert errs[0] > errs[3]
+
+
+def test_surrogate_differentiable(small_images):
+    x = jnp.asarray(small_images)
+
+    def loss(x):
+        return jnp.mean(codec_surrogate(x, jnp.float32(30.0), codec="jpeg") ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0  # straight-through round passes gradient
+
+
+def test_surrogate_tracks_real_jpeg(small_images):
+    """Surrogate distortion should be within ~a factor of real JPEG distortion."""
+    x = jnp.asarray(small_images)
+    for q in [10, 50, 90]:
+        real = pil_codecs.compress_batch(small_images, "jpeg", q)
+        sur = np.asarray(codec_surrogate(x, jnp.float32(q), codec="jpeg"))
+        mse_real = np.mean((real - small_images) ** 2) + 1e-8
+        mse_sur = np.mean((sur - small_images) ** 2) + 1e-8
+        ratio = mse_sur / mse_real
+        assert 0.1 < ratio < 10.0, f"q={q}: surrogate/real MSE ratio {ratio:.3f}"
