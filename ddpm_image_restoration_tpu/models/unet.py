@@ -1,0 +1,197 @@
+"""The codec-conditioned residual-attention UNet family.
+
+One parameterised skeleton covers the reference's three near-identical model
+classes ({WebP,JPEG,AVIF}DiffusionModel, webp_training.py:330-399 /
+avif.py:382-451 / `svd imagenet.ipynb` cell 0), with the codec differences
+carried by `CodecPreset` (frequency module kind, block size, attention heads,
+DCT-fusion scale).
+
+Architecture (matching the reference block-for-block):
+  encoder   3 -> w1 -> w2 -> w3 -> w4 -> w5 with 2x2 max-pool between stages
+  bottleneck w5 -> b1 -> b2 -> b3 (at image_size/32 spatial)
+  decoder   5 stages of concat([bilinear-up 2x, skip]) -> ResAttnBlock
+  fusion    u5 + fusion_scale * DCT(u5)       (webp_training.py:396-397)
+  head      GroupNorm -> SiLU -> conv3x3 -> tanh (residual in [-1,1])
+
+Each ResAttnBlock: GN -> conv3x3 -> +time -> GN -> GELU -> dropout -> conv3x3
+-> full spatial self-attention (residual) -> codec frequency module ->
+shortcut(x) + h (webp_training.py:273-327).
+
+TPU-first choices: NHWC layout, bf16 compute with fp32 GroupNorm and time
+embedding, attention via fused XLA dot-product-attention or a Pallas flash
+kernel, all frequency masks static constants.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ddpm_image_restoration_tpu.config import CodecPreset, ModelConfig, get_preset
+from ddpm_image_restoration_tpu.models.freq_blocks import (
+    AVIFFreqAwareBlock,
+    DCTFreqAwareBlock,
+)
+from ddpm_image_restoration_tpu.models.time_embedding import TimeEmbedding
+from ddpm_image_restoration_tpu.ops.attention import spatial_attention
+from ddpm_image_restoration_tpu.ops.dct import adjusted_group_count, spatial_block_dct
+from ddpm_image_restoration_tpu.ops.resize import max_pool_2x, upsample_2x_bilinear
+
+
+def _group_norm(c: int, name: str):
+    # fp32 norms regardless of compute dtype: GroupNorm statistics in bf16
+    # visibly degrade small-residual predictions.
+    return nn.GroupNorm(
+        num_groups=adjusted_group_count(c), dtype=jnp.float32, name=name
+    )
+
+
+class SpatialSelfAttention(nn.Module):
+    """Multi-head self-attention over all H*W tokens (nn.MultiheadAttention
+    equivalent: joint qkv projection + output projection, both with bias)."""
+
+    channels: int
+    num_heads: int
+    impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        head_dim = c // self.num_heads
+        tokens = x.reshape(b, h * w, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(tokens)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, h * w, self.num_heads, head_dim)
+        k = k.reshape(b, h * w, self.num_heads, head_dim)
+        v = v.reshape(b, h * w, self.num_heads, head_dim)
+        out = spatial_attention(q, k, v, impl=self.impl)
+        out = out.reshape(b, h * w, c)
+        out = nn.Dense(c, dtype=self.dtype, name="out")(out)
+        return out.reshape(b, h, w, c)
+
+
+class ResAttnBlock(nn.Module):
+    out_channels: int
+    preset: CodecPreset
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t_emb: jnp.ndarray,
+        compression_level: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        in_c, out_c = x.shape[-1], self.out_channels
+
+        h = _group_norm(in_c, "norm1")(x).astype(dtype)
+        h = nn.Conv(out_c, (3, 3), dtype=dtype, name="conv1")(h)
+        t = nn.Dense(out_c, dtype=dtype, name="time_proj")(t_emb.astype(dtype))
+        h = h + t[:, None, None, :]
+
+        h = _group_norm(out_c, "norm2")(h).astype(dtype)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(out_c, (3, 3), dtype=dtype, name="conv2")(h)
+
+        if x.shape[1] <= self.cfg.attn_max_resolution:
+            attn = SpatialSelfAttention(
+                out_c,
+                self.preset.attn_heads,
+                impl=self.cfg.attention_impl,
+                dtype=dtype,
+                name="attn",
+            )(h)
+            h = h + attn
+
+        if self.preset.adaptive_transform:
+            h = AVIFFreqAwareBlock(
+                out_c,
+                self.preset.dct_block_size,
+                self.preset.color_boost_clamp,
+                self.preset.edge_boost_clamp,
+                dtype=dtype,
+                name="freq_guide",
+            )(h, compression_level)
+        else:
+            h = DCTFreqAwareBlock(
+                out_c,
+                self.preset.dct_block_size,
+                self.preset.low_freq_size,
+                self.preset.high_boost_clamp,
+                dtype=dtype,
+                name="freq_guide",
+            )(h, compression_level)
+
+        if in_c != out_c:
+            x = nn.Conv(out_c, (1, 1), dtype=dtype, name="shortcut")(x)
+        return x.astype(dtype) + h
+
+
+class CodecDiffusionModel(nn.Module):
+    """UNet predicting the restoration residual x0 - xt in [-1,1]."""
+
+    preset: CodecPreset
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        compression_level: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg, preset = self.cfg, self.preset
+        dtype = jnp.dtype(cfg.compute_dtype)
+        t = jnp.asarray(t, jnp.float32)
+        if t.ndim == 0:
+            t = jnp.broadcast_to(t, (x.shape[0],))
+        t_emb = TimeEmbedding(cfg.time_dim, name="time_embed")(t)
+        if compression_level is None:
+            compression_level = t  # webp_training.py:373-374
+
+        x = x.astype(dtype)
+
+        def block(h, out_c, name):
+            return ResAttnBlock(out_c, preset, cfg, name=name)(
+                h, t_emb, compression_level, deterministic
+            )
+
+        # encoder
+        skips = []
+        h = x
+        for i, w_ in enumerate(cfg.enc_widths):
+            h = block(h if i == 0 else max_pool_2x(h), w_, f"down{i + 1}")
+            skips.append(h)
+
+        # bottleneck
+        h = max_pool_2x(h)
+        for i, w_ in enumerate(cfg.bottleneck_widths):
+            h = block(h, w_, f"bottleneck{i + 1}")
+
+        # decoder: widths mirror the encoder (up1..up5 -> 512,256,128,64,64)
+        dec_widths = list(cfg.enc_widths[-2::-1]) + [cfg.enc_widths[0]]
+        for i, w_ in enumerate(dec_widths):
+            skip = skips[-(i + 1)]
+            h = jnp.concatenate([upsample_2x_bilinear(h), skip], axis=-1)
+            h = block(h, w_, f"up{i + 1}")
+
+        # DCT-feature fusion (webp_training.py:396-397; 0.15 for AVIF avif.py:448-449)
+        dct_feature = spatial_block_dct(h, preset.dct_block_size)
+        h = h + preset.dct_fusion_scale * dct_feature
+
+        # output head (fp32)
+        h = _group_norm(h.shape[-1], "out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.in_channels, (3, 3), dtype=jnp.float32, name="out_conv")(h)
+        return jnp.tanh(h)
+
+
+def build_model(codec: str, cfg: Optional[ModelConfig] = None) -> CodecDiffusionModel:
+    return CodecDiffusionModel(preset=get_preset(codec), cfg=cfg or ModelConfig())

@@ -1,0 +1,82 @@
+"""Frequency-domain ops for the UNet's codec-specialised modules.
+
+TPU-native redesign of the reference's frequency machinery:
+
+  * `DCTLayer` (webp_training.py:154-203) builds its DCT matrix elementwise in
+    Python, `unfold`s into blocks and matmuls per block. Here the blockwise DCT
+    is two einsum contractions over a statically reshaped [B,H/b,W/b,b,b,C]
+    layout — one fused XLA op, MXU-tileable, no data-dependent shapes.
+
+  * `WebPFreqAwareBlock`'s low/high frequency split runs a Python double loop
+    over (h/b)x(w/b) blocks rebuilding the same mask every call, every block,
+    every step (webp_training.py:241-252). The mask pattern is STATIC for a
+    given (H, W, block, low_size): within each bxb tile, positions with
+    (row < low) & (col < low) are "low frequency". Here it is a precomputed
+    constant the compiler folds into the surrounding elementwise ops.
+
+All ops take NHWC (TPU conv layout); the reference is NCHW.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddpm_image_restoration_tpu.codecs.surrogate import dct_matrix
+
+
+def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """Blockwise 2-D DCT of NHWC `x`, returned in the reference's spatial
+    layout: each bxb tile of the output holds that tile's DCT coefficients
+    (matches DCTLayer.forward webp_training.py:161-192, minus its pad path —
+    UNet feature maps here are always block-size multiples).
+    """
+    b, h, w, c = x.shape
+    bs = block_size
+    if h % bs or w % bs:
+        # pad to block multiple, transform, crop (DCTLayer semantics)
+        hp, wp = (-h) % bs, (-w) % bs
+        x_p = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
+        return spatial_block_dct(x_p, bs)[:, :h, :w, :]
+    d = jnp.asarray(dct_matrix(bs), dtype=x.dtype)
+    tiles = x.reshape(b, h // bs, bs, w // bs, bs, c)
+    coeffs = jnp.einsum(
+        "ij,bhjwkc,lk->bhiwlc", d, tiles, d,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return coeffs.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _low_freq_mask_np(h: int, w: int, block_size: int, low_size: int) -> np.ndarray:
+    """[h,w] float32 mask: 1 where the coefficient is 'low frequency'.
+
+    Reproduces the reference loop bit-for-bit (webp_training.py:241-252):
+    per bxb tile, low = top-left low_size x low_size corner, where
+    low_size = max(1, min(cfg_low, tile_h, tile_w)) for edge tiles.
+    """
+    mask = np.zeros((h, w), dtype=np.float32)
+    for i in range(0, h, block_size):
+        i_end = min(i + block_size, h)
+        for j in range(0, w, block_size):
+            j_end = min(j + block_size, w)
+            ls = max(1, min(low_size, min(i_end - i, j_end - j)))
+            mask[i : i + ls, j : j + ls] = 1.0
+    return mask
+
+
+def low_freq_mask(h: int, w: int, block_size: int, low_size: int) -> jnp.ndarray:
+    """Static low-frequency mask, shaped [1,h,w,1] for NHWC broadcast."""
+    return jnp.asarray(_low_freq_mask_np(h, w, block_size, low_size))[None, :, :, None]
+
+
+def adjusted_group_count(channels: int, max_groups: int = 8) -> int:
+    """GroupNorm group count with the reference's divisor-adjust rule
+    (webp_training.py:277-279): min(8, C) reduced until it divides C."""
+    g = min(max_groups, channels)
+    while channels % g != 0 and g > 1:
+        g -= 1
+    return g

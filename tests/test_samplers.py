@@ -1,0 +1,120 @@
+"""Sampler tests: DDRM step algebra on fake codecs, phase consistency
+identities, Gaussian-mixture solver, SVD structure prior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_image_restoration_tpu.config import ModelConfig, get_preset
+from ddpm_image_restoration_tpu.diffusion.ddrm import (
+    DDRMSampler,
+    make_consistency_fn,
+    phase_consistency,
+)
+from ddpm_image_restoration_tpu.diffusion.gaussian_mixture import (
+    GaussianMixtureSampler,
+    svd_structure_preservation,
+)
+from ddpm_image_restoration_tpu.models import build_model
+
+TINY = ModelConfig(
+    image_size=32,
+    enc_widths=(8, 16, 16, 32, 32),
+    bottleneck_widths=(32, 32, 32),
+    time_dim=32,
+    compute_dtype="float32",
+)
+
+
+class _ZeroModel:
+    """Stand-in model returning zeros (apply(params, x, t, level) protocol)."""
+
+    def apply(self, params, x, t, level=None):
+        return jnp.zeros_like(x)
+
+
+@pytest.fixture
+def y32(rng):
+    return jnp.asarray(np.clip(rng.normal(0, 0.4, (2, 32, 32, 3)), -1, 1).astype("f"))
+
+
+def test_phase_consistency_self_identity(y32):
+    out = phase_consistency(y32, y32, alpha=0.7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
+
+
+def test_phase_consistency_blend(y32, rng):
+    other = jnp.asarray(rng.normal(0, 0.4, y32.shape).astype("f"))
+    out1 = phase_consistency(y32, other, alpha=1.0)  # alpha=1 -> unchanged
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(y32), atol=1e-5)
+
+
+def test_ddrm_identity_codec_returns_y(y32):
+    """With a perfect (identity) codec, x' = x̂ - x̂ + y = y at every step, so
+    the restoration must return y exactly when eta=0 (no injected noise)."""
+    preset = get_preset("webp")
+    sampler = DDRMSampler(_ZeroModel(), preset)
+    sampler.consistency = lambda x, q: x  # identity codec
+    sampler._compiled.clear()
+    out = sampler.sample(None, y32, quality=50, steps=5, eta=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
+
+
+def test_ddrm_zero_codec_adds_prediction(y32):
+    """With codec(x)=0 and a zero model: x' = 0 - 0 + y = y every step."""
+    preset = get_preset("webp")
+    sampler = DDRMSampler(_ZeroModel(), preset)
+    sampler.consistency = lambda x, q: jnp.zeros_like(x)
+    sampler._compiled.clear()
+    out = sampler.sample(None, y32, quality=50, steps=4, eta=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
+
+
+def test_ddrm_real_model_smoke(y32):
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    out = sampler.sample(params, y32, quality=10, steps=3, key=jax.random.PRNGKey(1))
+    assert out.shape == y32.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddrm_callback_mode(y32):
+    """The host-codec callback path must run under jit inside the scan."""
+    sampler = DDRMSampler(_ZeroModel(), get_preset("jpeg"), consistency_mode="callback")
+    out = sampler.sample(None, y32, quality=50, steps=2, eta=0.0)
+    assert out.shape == y32.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddrm_residual_mode(y32):
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    s = DDRMSampler(model, get_preset("webp"), prediction="residual")
+    out = s.sample(params, y32, quality=30, steps=2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_svd_structure_full_rank_identity(y32):
+    out = svd_structure_preservation(y32, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-3)
+
+
+def test_svd_structure_low_rank(y32):
+    out = svd_structure_preservation(y32, jnp.float32(0.1))
+    err = float(jnp.mean((out - y32) ** 2))
+    assert err > 1e-5  # actually truncated
+    # rank check on one plane
+    plane = np.asarray(out[0, :, :, 0])
+    s = np.linalg.svd(plane, compute_uv=False)
+    assert (s > 1e-4 * s[0]).sum() <= 4  # k = max(1, 32*0.1) = 3 (+ noise)
+
+
+def test_gaussian_mixture_sampler(y32):
+    model = build_model("jpeg", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    gms = GaussianMixtureSampler(model, get_preset("jpeg"))
+    out = gms.sample(params, y32, steps=4, key=jax.random.PRNGKey(0))
+    assert out.shape == y32.shape
+    assert np.all(np.isfinite(np.asarray(out)))
