@@ -1,0 +1,106 @@
+"""Benchmark: restored images/sec/chip for the full DDRM restoration pipeline.
+
+Measures the production restore path end-to-end on the current accelerator:
+flagship (reference-width) WebP UNet, full DDRM lax.scan at init_t(q=30)=70
+steps with the on-device codec-surrogate consistency step, bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 50 (the 50 img/s/chip 128x128 v5e target in
+BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 50.0
+
+
+def build(size: int, attn_impl: str, widths_scale: int = 1):
+    from ddpm_image_restoration_tpu.config import ModelConfig
+    from ddpm_image_restoration_tpu.models import build_model
+
+    cfg = ModelConfig(
+        image_size=size,
+        compute_dtype="bfloat16",
+        attention_impl=attn_impl,
+    )
+    if widths_scale > 1:
+        cfg = cfg.scaled(widths_scale)
+    return build_model("webp", cfg), cfg
+
+
+def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: int = 30):
+    from ddpm_image_restoration_tpu.config import get_preset
+    from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+
+    model, cfg = build(size, attn_impl)
+    x = jnp.zeros((batch, size, size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros(batch))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(np.clip(rng.normal(0, 0.4, x.shape), -1, 1).astype(np.float32))
+
+    # compile + warmup (two rounds: the axon-tunneled TPU platform's
+    # block_until_ready does not reliably block, so force a host transfer)
+    for k in (100, 101):
+        out = sampler.sample(params, y, quality=quality, steps=steps, key=jax.random.PRNGKey(k))
+        np.asarray(out)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sampler.sample(
+            params, y, quality=quality, steps=steps, key=jax.random.PRNGKey(i)
+        )
+        np.asarray(out)  # full sync: device compute + device->host transfer
+    dt = (time.perf_counter() - t0) / n_iters
+    return batch / dt, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=0, help="0 = auto (largest that fits)")
+    ap.add_argument("--steps", type=int, default=70, help="init_t for q=30 (full restore)")
+    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    ap.add_argument("--quality", type=int, default=30)
+    args = ap.parse_args()
+
+    candidates = [args.batch] if args.batch else [16, 8, 4, 2, 1]
+    last_err = None
+    for b in candidates:
+        try:
+            imgs_per_sec, dt = bench_restore(
+                args.size, b, args.steps, args.attn, args.quality
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": f"images/sec/chip at {args.size}^2 full DDPM restore "
+                        f"({args.steps} steps, q={args.quality}, batch {b}, {args.attn} attn)",
+                        "value": round(imgs_per_sec, 4),
+                        "unit": "images/sec/chip",
+                        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 4),
+                    }
+                )
+            )
+            return
+        except Exception as e:  # OOM at this batch — try smaller
+            last_err = e
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg.lower():
+                raise
+    raise SystemExit(f"all batch sizes failed: {last_err}")
+
+
+if __name__ == "__main__":
+    main()

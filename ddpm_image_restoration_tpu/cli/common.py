@@ -1,0 +1,64 @@
+"""Shared CLI plumbing: config construction from flags.
+
+The reference's CLIs are zero-flag `if __name__ == "__main__"` blocks with
+hard-coded paths (webp_training.py:828-835, webp_inference.py:954-987,
+avif.py:880-887, avif_inference.py:812-869). Here every hard-coded constant
+is a documented flag with the reference value as default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ddpm_image_restoration_tpu.config import ModelConfig, TrainConfig, EvalConfig
+
+
+def add_model_flags(ap: argparse.ArgumentParser):
+    ap.add_argument("--codec", default="webp", choices=["webp", "jpeg", "avif"])
+    ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--width-scale", type=int, default=1,
+                    help="divide all channel widths by this (quick experiments)")
+    ap.add_argument("--compute-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    ap.add_argument("--attn-max-res", type=int, default=1024,
+                    help="apply self-attention only at spatial sizes <= this")
+
+
+def model_config_from(args) -> ModelConfig:
+    cfg = ModelConfig(
+        image_size=args.image_size,
+        compute_dtype=args.compute_dtype,
+        attention_impl=args.attn,
+        attn_max_resolution=args.attn_max_res,
+    )
+    if args.width_scale > 1:
+        cfg = cfg.scaled(args.width_scale)
+    return cfg
+
+
+def train_config_from(args) -> TrainConfig:
+    return TrainConfig(
+        codec=args.codec,
+        model=model_config_from(args),
+        epochs=args.epochs,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        data_dir=args.data_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        consistency_mode=args.consistency,
+    )
+
+
+def eval_config_from(args) -> EvalConfig:
+    return EvalConfig(
+        codec=args.codec,
+        model=model_config_from(args),
+        steps=args.steps,
+        output_dir=args.output_dir,
+        max_images=args.max_images,
+        consistency_mode=args.consistency,
+        compute_fid=not args.no_fid,
+    )

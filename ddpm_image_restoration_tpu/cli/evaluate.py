@@ -1,0 +1,72 @@
+"""Evaluation entry point: `ddpm-ir-evaluate` (reference: python
+webp_inference.py / avif_inference.py, webp_inference.py:954-987)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ddpm_image_restoration_tpu.cli.common import add_model_flags, eval_config_from
+
+
+def main(argv=None):
+    import jax
+
+    ap = argparse.ArgumentParser(description="Evaluate restoration quality across quality levels")
+    add_model_flags(ap)
+    ap.add_argument("--data-dir", default="./ILSVRC2012_img_val")
+    ap.add_argument("--checkpoint-dir", default="./checkpoints")
+    ap.add_argument("--output-dir", default="./eval_results")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--max-images", type=int, default=0, help="0 = all (AVIF ref caps at 500)")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback"])
+    ap.add_argument("--no-fid", action="store_true")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N")
+    ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--qualities", type=int, nargs="*", default=None,
+                    help="override the preset's eval quality list")
+    args = ap.parse_args(argv)
+
+    from ddpm_image_restoration_tpu.config import TrainConfig
+    from ddpm_image_restoration_tpu.data import (
+        ImageFolderDataset,
+        SyntheticImageDataset,
+        split_indices,
+    )
+    from ddpm_image_restoration_tpu.evaluation.harness import evaluate_restoration
+    from ddpm_image_restoration_tpu.models import build_model
+    from ddpm_image_restoration_tpu.train.checkpoint import CheckpointManager
+    from ddpm_image_restoration_tpu.train.steps import create_train_state
+
+    cfg = eval_config_from(args)
+    if args.qualities:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, qualities_override=tuple(args.qualities))
+
+    model = build_model(args.codec, cfg.model)
+    tc = TrainConfig(codec=args.codec, model=cfg.model, checkpoint_dir=args.checkpoint_dir)
+    state = create_train_state(model, tc, jax.random.PRNGKey(0))
+    if not args.random_init:
+        mgr = CheckpointManager(args.checkpoint_dir)
+        restored = mgr.restore_best(state) or mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+        state, meta = restored
+        print(f"loaded checkpoint: {meta}")
+
+    if args.synthetic:
+        ds = SyntheticImageDataset(args.synthetic, cfg.model.image_size)
+        test_idx = np.arange(len(ds))
+    else:
+        ds = ImageFolderDataset(args.data_dir, cfg.model.image_size)
+        _, _, test_idx = split_indices(len(ds))  # seeded test split
+    images = np.stack([ds[int(i)] for i in test_idx])
+
+    evaluate_restoration(cfg, model, state.params, images, batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Training entry point: `ddpm-ir-train` (reference: python webp_training.py
+/ avif.py / the svd notebooks' train cells, with zero flags — webp_training.py:828)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ddpm_image_restoration_tpu.cli.common import add_model_flags, train_config_from
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Train a codec-restoration diffusion model")
+    add_model_flags(ap)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=100, help="diffusion timesteps")
+    ap.add_argument("--batch-size", type=int, default=0, help="0 = codec preset default")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data-dir", default="./ILSVRC2012_img_val")
+    ap.add_argument("--checkpoint-dir", default="./checkpoints")
+    ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback"])
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="train on N synthetic images instead of --data-dir")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = train_config_from(args)
+    dataset = None
+    if args.synthetic:
+        from ddpm_image_restoration_tpu.data import SyntheticImageDataset
+
+        dataset = SyntheticImageDataset(args.synthetic, cfg.model.image_size)
+
+    from ddpm_image_restoration_tpu.train.loop import train_model
+
+    train_model(cfg, dataset=dataset, resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -162,6 +162,24 @@ class ModelConfig:
     # everywhere, incl. 64x64 = 4096 tokens; set to >=image_size for exact parity)
     attn_max_resolution: int = 1024
 
+    def validate(self) -> "ModelConfig":
+        """Fail fast on impossible geometry instead of an opaque XLA error."""
+        n_pools = len(self.enc_widths)  # one pool before each later stage + bottleneck
+        min_size = 2 ** n_pools
+        if self.image_size < min_size:
+            raise ValueError(
+                f"image_size={self.image_size} too small for {len(self.enc_widths)} "
+                f"encoder stages (bottleneck would be "
+                f"{self.image_size / min_size:.2f}px); need >= {min_size}, or use "
+                f"fewer enc_widths"
+            )
+        if self.image_size % min_size:
+            raise ValueError(
+                f"image_size={self.image_size} must be divisible by {min_size} "
+                f"({len(self.enc_widths)} pooling stages)"
+            )
+        return self
+
     def scaled(self, factor: int) -> "ModelConfig":
         """Shrink widths by `factor` (for tests / the minimum end-to-end slice)."""
         return dataclasses.replace(
@@ -178,6 +196,7 @@ class TrainConfig:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     epochs: int = 100
     steps: int = 100                           # diffusion timesteps (webp_training.py:825)
+    batch_size: int = 0                        # 0 = use the codec preset's batch size
     weight_decay: float = 1e-5                 # webp_training.py:775
     betas: Tuple[float, float] = (0.9, 0.99)
     grad_clip: float = 1.0                     # webp_training.py:523
@@ -202,6 +221,10 @@ class TrainConfig:
     def preset(self) -> CodecPreset:
         return get_preset(self.codec)
 
+    @property
+    def effective_batch_size(self) -> int:
+        return self.batch_size or self.preset.batch_size
+
 
 @dataclasses.dataclass(frozen=True)
 class EvalConfig:
@@ -212,7 +235,12 @@ class EvalConfig:
     max_images: int = 0                        # 0 = all; AVIF caps at 500 (avif_inference.py:509-512)
     consistency_mode: str = "surrogate"
     compute_fid: bool = True
+    qualities_override: Tuple[int, ...] = ()   # empty = preset.eval_qualities
 
     @property
     def preset(self) -> CodecPreset:
         return get_preset(self.codec)
+
+    @property
+    def eval_qualities(self) -> Tuple[int, ...]:
+        return self.qualities_override or self.preset.eval_qualities

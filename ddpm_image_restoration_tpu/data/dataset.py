@@ -1,0 +1,88 @@
+"""Host-side image datasets.
+
+Reference: `ImageFolderFlat` (webp_training.py:32-51) — a flat directory of
+png/jpg/jpeg/bmp/webp files, resized to 64x64, normalized to [-1,1], split
+80/10/10 with random_split (seeded with 42 in avif_inference.py:830, unseeded
+elsewhere — we always seed, the unseeded re-split in webp_inference.py:66-71
+is a reproducibility bug, not a feature).
+
+TPU-native framing: datasets return numpy NHWC float32; all torch/torchvision
+machinery is replaced by PIL + numpy. A `SyntheticImageDataset` of procedural
+smooth images supports tests, benchmarks, and `--synthetic` CLI runs without
+ImageNet on disk.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+class ImageFolderDataset:
+    """Flat-directory image dataset -> [-1,1] float32 NHWC samples."""
+
+    def __init__(self, root: str, image_size: int = 64):
+        self.root = root
+        self.image_size = image_size
+        self.files = sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.lower().endswith(_EXTENSIONS)
+        )
+        if not self.files:
+            raise ValueError(f"no images found under {root!r}")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        img = Image.open(self.files[idx]).convert("RGB")
+        s = self.image_size
+        img = img.resize((s, s), Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return arr * 2.0 - 1.0
+
+
+class SyntheticImageDataset:
+    """Deterministic procedural images (sums of oriented sinusoids + a soft
+    disk), index-seeded — compressible structure without any files on disk."""
+
+    def __init__(self, n: int = 256, image_size: int = 64, seed: int = 0):
+        self.n = n
+        self.image_size = image_size
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        s = self.image_size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        img = np.zeros((s, s, 3), np.float32)
+        for _ in range(3):
+            fx, fy = rng.uniform(1, 8, 2)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(0.2, 0.5, 3)
+            wave = np.sin(2 * np.pi * (fx * xx + fy * yy) + phase)
+            img += wave[..., None] * amp[None, None, :]
+        cx, cy, r = rng.uniform(0.2, 0.8, 3)
+        disk = np.clip(1.0 - ((xx - cx) ** 2 + (yy - cy) ** 2) / (0.1 * r + 1e-3), 0, 1)
+        img += disk[..., None] * rng.uniform(-0.5, 0.5, 3)[None, None, :]
+        return np.clip(img, -1, 1).astype(np.float32)
+
+
+def split_indices(
+    n: int, fracs: Sequence[float] = (0.8, 0.1, 0.1), seed: int = 42
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic train/val/test index split (reference: random_split with
+    torch.manual_seed(42), avif_inference.py:830)."""
+    perm = np.random.default_rng(seed).permutation(n)
+    n_train = int(n * fracs[0])
+    n_val = int(n * fracs[1])
+    return perm[:n_train], perm[n_train : n_train + n_val], perm[n_train + n_val :]

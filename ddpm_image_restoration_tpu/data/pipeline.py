@@ -1,0 +1,113 @@
+"""Degradation data pipeline: clean images -> (x0, xt, t, quality) batches.
+
+TPU-native role: the reference degrades images *inside* the GPU training loop
+with a per-image Python codec loop (webp_training.py:499-508), serialising the
+device against libwebp. Here degradation is part of the host input pipeline:
+a background producer thread assembles batches (threaded codec pool inside),
+double-buffered in a queue, so codec work overlaps device compute. For
+multi-host SPMD each host builds a loader over its own shard of the index
+space (`host_id` / `num_hosts`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
+from ddpm_image_restoration_tpu.codecs.quality import (
+    quality_for_timestep,
+    sample_quality_range,
+)
+from ddpm_image_restoration_tpu.config import CodecPreset
+
+
+class DegradationLoader:
+    """Iterable over degraded training batches for one epoch at a time.
+
+    Yields dicts with:
+      x0      [B,H,W,3] float32 clean images in [-1,1]
+      xt      [B,H,W,3] float32 codec-degraded images
+      t       [B] int32 timesteps in [1, steps)
+      quality [B] int32 per-sample codec quality
+    """
+
+    def __init__(
+        self,
+        dataset,
+        indices: Sequence[int],
+        preset: CodecPreset,
+        batch_size: int,
+        steps: int = 100,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        prefetch: int = 2,
+        drop_remainder: bool = True,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)[host_id::num_hosts]
+        self.preset = preset
+        self.batch_size = batch_size
+        self.steps = steps
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_remainder = drop_remainder
+
+    def steps_per_epoch(self) -> int:
+        if self.drop_remainder:
+            return len(self.indices) // self.batch_size
+        return -(-len(self.indices) // self.batch_size)
+
+    def _make_batch(self, rng: np.random.Generator, idxs, epoch: int) -> Dict:
+        x0 = np.stack([self.dataset[int(i)] for i in idxs])
+        qr = sample_quality_range(rng, epoch, self.preset)
+        t = rng.integers(1, self.steps, size=len(idxs))
+        quality = quality_for_timestep(t, self.steps, qr)
+        quality = np.maximum(quality, self.preset.quality_min)
+        xt = compress_batch(x0, self.preset.name, quality)
+        return {
+            "x0": x0.astype(np.float32),
+            "xt": xt.astype(np.float32),
+            "t": t.astype(np.int32),
+            "quality": quality.astype(np.int32),
+        }
+
+    def epoch(self, epoch: int) -> Iterator[Dict]:
+        """Background-producer iterator over one epoch's batches."""
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(len(self.indices))
+        n_batches = self.steps_per_epoch()
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def produce():
+            try:
+                for b in range(n_batches):
+                    idxs = self.indices[order[b * self.batch_size : (b + 1) * self.batch_size]]
+                    q.put(self._make_batch(rng, idxs, epoch))
+            except BaseException as e:  # surface producer errors to the consumer
+                q.put(e)
+            finally:
+                q.put(_SENTINEL)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def eval_batches(self, batch_size: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Deterministic clean-image batches (for validation/eval harness)."""
+        bs = batch_size or self.batch_size
+        for b in range(0, len(self.indices), bs):
+            idxs = self.indices[b : b + bs]
+            yield np.stack([self.dataset[int(i)] for i in idxs])

@@ -1,0 +1,201 @@
+"""Evaluation harness: the framework's `test_*_restoration` equivalent.
+
+Mirrors test_webp_restoration / test_avif_restoration / evaluate_jpeg_restoration
+(webp_inference.py:604-952, avif_inference.py:462-810, `svd imagenet.ipynb`):
+for every quality level, compress -> restore -> per-image PSNR/SSIM/LPIPS/L2
+for both compressed and restored, FID compressed-vs-original and
+restored-vs-original, a comparative table, 6-panel metric plots, example
+restoration grids, and a metrics_summary.json.
+
+TPU-native: restoration runs the jitted lax.scan sampler over batches (the
+reference loops per image with batch 1); metrics are computed on device in
+batches; only FID statistics and PNG dumps live on the host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddpm_image_restoration_tpu.config import EvalConfig
+from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
+from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality
+from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+from ddpm_image_restoration_tpu.diffusion.losses import ssim
+from ddpm_image_restoration_tpu.evaluation.fid import default_feature_extractor, fid_between
+from ddpm_image_restoration_tpu.evaluation.lpips import LPIPS
+from ddpm_image_restoration_tpu.utils.viz import save_restoration_grid
+
+
+def _to01(x):
+    return np.clip(np.asarray(x, np.float32) * 0.5 + 0.5, 0, 1)
+
+
+@jax.jit
+def _per_image_metrics(pred, target):
+    """Per-image PSNR / SSIM / normalized-L2 on [0,1]-rescaled pairs."""
+    p = jnp.clip(pred.astype(jnp.float32) * 0.5 + 0.5, 0, 1)
+    t = jnp.clip(target.astype(jnp.float32) * 0.5 + 0.5, 0, 1)
+    mse = jnp.mean((p - t) ** 2, axis=(1, 2, 3))
+    psnr = -10.0 * jnp.log10(mse + 1e-8)
+    ssim_v = ssim(p, t, size_average=False)
+    l2 = jnp.sqrt(jnp.sum((p - t) ** 2, axis=(1, 2, 3))) / np.sqrt(
+        np.prod(pred.shape[1:])
+    )
+    return psnr, ssim_v, l2
+
+
+def evaluate_restoration(
+    cfg: EvalConfig,
+    model,
+    params,
+    images: np.ndarray,
+    batch_size: int = 8,
+    save_examples: int = 4,
+    verbose: bool = True,
+) -> Dict:
+    """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
+
+    Returns the metrics-summary dict (also written to metrics_summary.json).
+    """
+    preset = cfg.preset
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    if cfg.max_images:
+        images = images[: cfg.max_images]  # AVIF caps at 500 (avif_inference.py:509-512)
+
+    sampler = DDRMSampler(model, preset, cfg.consistency_mode)
+    lpips_fn = LPIPS()
+    extractor = default_feature_extractor() if cfg.compute_fid else None
+    wrapped = {"params": params} if "params" not in params else params
+
+    results: Dict[str, Dict[str, float]] = {}
+    key = jax.random.PRNGKey(0)
+
+    for quality in cfg.eval_qualities:
+        acc: Dict[str, List[float]] = defaultdict(list)
+        init_t = init_timestep_for_quality(quality, cfg.steps, preset)
+        comp_all, rest_all = [], []
+        t_start = time.time()
+        n_restored = 0
+
+        for i in range(0, len(images), batch_size):
+            x0 = images[i : i + batch_size]
+            y = compress_batch(x0, preset.name, quality)
+            key, sub = jax.random.split(key)
+            restored = np.asarray(
+                sampler.sample(wrapped, jnp.asarray(y), quality, init_t, key=sub)
+            )
+            n_restored += len(x0)
+
+            for tag, img in (("compressed", y), ("restored", restored)):
+                p, s, l2 = _per_image_metrics(jnp.asarray(img), jnp.asarray(x0))
+                acc[f"{tag}_psnr"] += list(np.asarray(p))
+                acc[f"{tag}_ssim"] += list(np.asarray(s))
+                acc[f"{tag}_l2"] += list(np.asarray(l2))
+                acc[f"{tag}_lpips"] += list(np.asarray(lpips_fn(img, x0)))
+
+            if cfg.compute_fid:
+                comp_all.append(_to01(y))
+                rest_all.append(_to01(restored))
+
+            if i == 0 and save_examples:
+                save_restoration_grid(
+                    os.path.join(cfg.output_dir, f"examples_q{quality}.png"),
+                    x0[:save_examples],
+                    y[:save_examples],
+                    restored[:save_examples],
+                    quality=quality,
+                )
+
+        row = {k: float(np.mean(v)) for k, v in acc.items()}
+        if cfg.compute_fid:
+            x_all = _to01(images)
+            row["compressed_fid"] = fid_between(np.concatenate(comp_all), x_all, extractor)
+            row["restored_fid"] = fid_between(np.concatenate(rest_all), x_all, extractor)
+            row["fid_kind"] = extractor.name
+        row["images_per_sec"] = n_restored / (time.time() - t_start)
+        results[str(quality)] = row
+        if verbose:
+            print(
+                f"q={quality:3d}: PSNR {row['compressed_psnr']:.2f}->{row['restored_psnr']:.2f} "
+                f"SSIM {row['compressed_ssim']:.4f}->{row['restored_ssim']:.4f} "
+                f"({row['images_per_sec']:.2f} img/s)"
+            )
+
+    summary = {
+        "codec": preset.name,
+        "num_images": int(len(images)),
+        "steps": cfg.steps,
+        "consistency_mode": cfg.consistency_mode,
+        "lpips_kind": lpips_fn.name,
+        "results": results,
+    }
+    with open(os.path.join(cfg.output_dir, "metrics_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if verbose:
+        print(format_comparative_table(summary))
+    plot_metric_panels(summary, os.path.join(cfg.output_dir, "metric_panels.png"))
+    return summary
+
+
+def format_comparative_table(summary: Dict) -> str:
+    """Comparative table like display_comparative_results
+    (webp_inference.py:799-858): compressed -> restored with deltas."""
+    lines = [
+        f"=== {summary['codec'].upper()} restoration ({summary['num_images']} images) ===",
+        f"{'Q':>4} | {'PSNR (dB)':>22} | {'SSIM':>22} | {'LPIPS':>22} | {'L2':>20}",
+    ]
+    for q, r in summary["results"].items():
+        def fmt(name, digits=4):
+            c, s = r[f"compressed_{name}"], r[f"restored_{name}"]
+            return f"{c:.{digits}f}->{s:.{digits}f} ({s - c:+.{digits}f})"
+
+        lines.append(
+            f"{q:>4} | {fmt('psnr', 2):>22} | {fmt('ssim'):>22} | "
+            f"{fmt('lpips'):>22} | {fmt('l2'):>20}"
+        )
+        if "restored_fid" in r:
+            lines[-1] += (
+                f" | FID({r.get('fid_kind','?')}) "
+                f"{r['compressed_fid']:.2f}->{r['restored_fid']:.2f}"
+            )
+    return "\n".join(lines)
+
+
+def plot_metric_panels(summary: Dict, path: str):
+    """6-panel metric-vs-quality plots (webp_inference.py:860-952)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    qs = [int(q) for q in summary["results"]]
+    metrics = ["psnr", "ssim", "lpips", "l2"]
+    if any("restored_fid" in r for r in summary["results"].values()):
+        metrics.append("fid")
+    fig, axes = plt.subplots(2, 3, figsize=(16, 9))
+    for ax, m in zip(axes.flat, metrics):
+        for tag, style in (("compressed", "o--"), ("restored", "s-")):
+            key = f"{tag}_{m}"
+            vals = [summary["results"][str(q)].get(key) for q in qs]
+            if all(v is not None for v in vals):
+                ax.plot(qs, vals, style, label=tag)
+        ax.set_title(m.upper())
+        ax.set_xlabel("quality")
+        ax.grid(alpha=0.3)
+        ax.legend()
+    for ax in axes.flat[len(metrics):]:
+        ax.axis("off")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)

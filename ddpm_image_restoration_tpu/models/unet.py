@@ -194,4 +194,5 @@ class CodecDiffusionModel(nn.Module):
 
 
 def build_model(codec: str, cfg: Optional[ModelConfig] = None) -> CodecDiffusionModel:
-    return CodecDiffusionModel(preset=get_preset(codec), cfg=cfg or ModelConfig())
+    cfg = (cfg or ModelConfig()).validate()
+    return CodecDiffusionModel(preset=get_preset(codec), cfg=cfg)

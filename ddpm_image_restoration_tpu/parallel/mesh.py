@@ -1,0 +1,126 @@
+"""Device mesh + sharding layer — a NEW capability over the reference.
+
+The reference is strictly single-device (torch.device at webp_training.py:18;
+no torch.distributed anywhere — SURVEY.md C37). The TPU framework scales the
+idiomatic JAX way: pick a Mesh, annotate shardings, let XLA insert the
+collectives over ICI.
+
+Layouts:
+  * 'data' axis  — batch dimension of every array in the training batch.
+                   Gradients reduce with an XLA all-reduce (psum) inserted
+                   automatically by jit given replicated-param out-shardings.
+  * 'model' axis — optional tensor parallelism: the output-channel dimension
+                   of large conv kernels / dense layers (and matching biases
+                   and optimizer moments) is sharded; activations stay
+                   data-sharded, so XLA inserts all-gathers on the channel
+                   axis only where a layer's input needs the full width.
+
+Restoration at scale is embarrassingly parallel: shard the batch, run the
+jitted sampler — no special code path needed beyond `batch_sharding`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Tuple[int, ...] = (-1,),
+    axes: Tuple[str, ...] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a Mesh; one axis may be -1 (absorbs remaining devices)."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = len(devices) // known
+    n = int(np.prod(shape))
+    mesh_devices = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(mesh_devices, axes)
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding for pytrees of [B, ...] arrays."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _kernel_spec(path_leaf: str, shape, model_size: int) -> P:
+    """Partition spec for one parameter under tensor parallelism.
+
+    Conv kernels are HWIO and Dense kernels are IO — shard the trailing
+    (output-channel) axis when it divides the model-axis size; biases and
+    scale vectors shard the same axis; everything else replicates.
+    """
+    if not shape:
+        return P()
+    last = shape[-1]
+    if last % model_size == 0 and last >= 2 * model_size:
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """A pytree of NamedShardings for the params (and, by structure, any
+    optimizer moments shaped like them)."""
+    if "model" not in mesh.axis_names:
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
+    msize = mesh.shape["model"]
+
+    def spec_for(x):
+        return NamedSharding(mesh, _kernel_spec("", x.shape, msize))
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def state_shardings(state, mesh: Mesh):
+    """Shardings for a flax TrainState: params/opt-state follow
+    param_shardings (optimizer moments mirror param shapes), scalars replicate."""
+    p_sh = param_shardings(state.params, mesh)
+
+    def assign(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and "model" in mesh.axis_names:
+            return NamedSharding(mesh, _kernel_spec("", x.shape, mesh.shape["model"]))
+        return replicated(mesh)
+
+    return state.replace(
+        step=replicated(mesh),
+        params=p_sh,
+        opt_state=jax.tree_util.tree_map(assign, state.opt_state),
+    )
+
+
+def shard_train_step(train_step, mesh: Mesh, state):
+    """Jit a train_step(state, batch, rng) over the mesh: batch data-sharded,
+    state sharded per `state_shardings`, rng replicated. XLA inserts the
+    gradient all-reduce over 'data' and any 'model'-axis collectives."""
+    st_sh = state_shardings(state, mesh)
+    b_sh = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(st_sh, b_sh, replicated(mesh)),
+        out_shardings=(st_sh, replicated(mesh)),
+        donate_argnums=(0,),
+    )
+
+
+def put_batch(batch, mesh: Mesh):
+    """Device-put a host batch with batch-axis sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def put_state(state, mesh: Mesh):
+    sh = state_shardings(state, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, sh,
+        is_leaf=lambda x: hasattr(x, "shape"),
+    )

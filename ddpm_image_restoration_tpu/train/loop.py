@@ -1,0 +1,170 @@
+"""The training driver: epochs, validation-by-restoration, checkpoints, viz.
+
+Mirrors train_model_ddrm_* (webp_training.py:773-822 / avif.py:794-843):
+  * per-epoch quality-curriculum training (in the data pipeline),
+  * per-epoch validation that runs the FULL DDRM sampler at the preset's
+    val qualities with init_t = clamp((100-q)/100*steps, ...) and reports
+    PSNR/SSIM (webp_training.py:540-599),
+  * best-val-PSNR checkpointing (plus true resume, which the reference lacks),
+  * training curves every epoch, restoration grids every `viz_every` epochs.
+
+TPU-native: the train step is jitted once over the device mesh (data-parallel
+by default — see parallel/mesh.py), batches stream from the host degradation
+pipeline with background prefetch, and validation restoration runs the same
+jitted lax.scan sampler used in production.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddpm_image_restoration_tpu.config import TrainConfig
+from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
+from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality
+from ddpm_image_restoration_tpu.data.dataset import (
+    ImageFolderDataset,
+    SyntheticImageDataset,
+    split_indices,
+)
+from ddpm_image_restoration_tpu.data.pipeline import DegradationLoader
+from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+from ddpm_image_restoration_tpu.evaluation.metrics import psnr, ssim_metric
+from ddpm_image_restoration_tpu.models import build_model
+from ddpm_image_restoration_tpu.parallel.mesh import (
+    make_mesh,
+    put_batch,
+    put_state,
+    shard_train_step,
+)
+from ddpm_image_restoration_tpu.train.checkpoint import CheckpointManager
+from ddpm_image_restoration_tpu.train.steps import create_train_state, make_train_step
+from ddpm_image_restoration_tpu.utils.logging import MetricLogger
+from ddpm_image_restoration_tpu.utils.viz import save_restoration_grid, save_training_curves
+
+
+def validate_by_restoration(
+    model,
+    params,
+    cfg: TrainConfig,
+    val_images: np.ndarray,
+    sampler: Optional[DDRMSampler] = None,
+    key: Optional[jax.Array] = None,
+) -> Dict[str, float]:
+    """Full-sampler validation at the preset's val qualities
+    (validate_ddrm_* webp_training.py:540-599)."""
+    preset = cfg.preset
+    sampler = sampler or DDRMSampler(model, preset, cfg.consistency_mode)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    totals = {"psnr": 0.0, "ssim": 0.0}
+    x0 = jnp.asarray(val_images)
+    wrapped = {"params": params} if "params" not in params else params
+    for quality in preset.val_qualities:
+        y = jnp.asarray(compress_batch(val_images, preset.name, quality))
+        init_t = init_timestep_for_quality(quality, cfg.steps, preset)
+        key, sub = jax.random.split(key)
+        restored = sampler.sample(wrapped, y, quality, init_t, key=sub)
+        totals["psnr"] += float(psnr(restored, x0))
+        totals["ssim"] += float(ssim_metric(restored, x0))
+    n = len(preset.val_qualities)
+    return {"val_psnr": totals["psnr"] / n, "val_ssim": totals["ssim"] / n}
+
+
+def train_model(
+    cfg: TrainConfig,
+    dataset=None,
+    epochs: Optional[int] = None,
+    val_batch: int = 4,
+    resume: bool = True,
+    verbose: bool = True,
+):
+    """End-to-end training. Returns (state, logger.history)."""
+    epochs = epochs or cfg.epochs
+    preset = cfg.preset
+
+    if dataset is None:
+        if os.path.isdir(cfg.data_dir):
+            dataset = ImageFolderDataset(cfg.data_dir, cfg.model.image_size)
+        else:
+            dataset = SyntheticImageDataset(256, cfg.model.image_size)
+
+    train_idx, val_idx, test_idx = split_indices(
+        len(dataset), cfg.split_fracs, cfg.split_seed
+    )
+    loader = DegradationLoader(
+        dataset, train_idx, preset, cfg.effective_batch_size, cfg.steps, seed=cfg.seed
+    )
+    if len(val_idx) == 0:  # tiny datasets: fall back to training images
+        val_idx = train_idx
+    val_images = np.stack([dataset[int(i)] for i in val_idx[:val_batch]])
+
+    model = build_model(cfg.codec, cfg.model)
+    spe = max(1, loader.steps_per_epoch())
+    state = create_train_state(model, cfg, jax.random.PRNGKey(cfg.seed), spe)
+
+    # default (-1,) data mesh: use as many devices as divide the batch
+    if tuple(cfg.mesh_shape) == (-1,) and tuple(cfg.mesh_axes) == ("data",):
+        import math
+
+        dp = math.gcd(cfg.effective_batch_size, jax.device_count())
+        mesh = make_mesh((dp,), ("data",))
+    else:
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    train_step = shard_train_step(make_train_step(model, cfg), mesh, state)
+    state = put_state(state, mesh)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    start_epoch = 0
+    if resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state, meta = restored
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            if verbose:
+                print(f"resumed from epoch {start_epoch - 1}")
+
+    logger = MetricLogger(cfg.checkpoint_dir)
+    sampler = DDRMSampler(model, preset, cfg.consistency_mode)
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    for epoch in range(start_epoch, epochs):
+        t_start = time.time()
+        losses = []
+        for batch in loader.epoch(epoch):
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, put_batch(batch, mesh), sub)
+            losses.append(metrics["loss"])
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+        val = validate_by_restoration(model, state.params, cfg, val_images, sampler)
+        epoch_time = time.time() - t_start
+        logger.log(epoch, loss=train_loss, epoch_time=epoch_time, **val)
+        if verbose:
+            print(logger.summary(epoch, prefix=f"{preset.name} "))
+
+        ckpt.save(epoch, state, {"epoch": epoch, **val})
+
+        save_training_curves(
+            os.path.join(cfg.checkpoint_dir, "curves", "training.png"), logger.history
+        )
+        if epoch % cfg.viz_every == 0:
+            q = preset.val_qualities[0]
+            y = compress_batch(val_images, preset.name, q)
+            restored = sampler.sample(
+                {"params": state.params},
+                jnp.asarray(y),
+                q,
+                init_timestep_for_quality(q, cfg.steps, preset),
+            )
+            save_restoration_grid(
+                os.path.join(cfg.checkpoint_dir, "viz", f"epoch_{epoch:04d}.png"),
+                val_images, np.asarray(y), np.asarray(restored), quality=q,
+            )
+
+    ckpt.wait()
+    return state, logger.history

@@ -1,0 +1,84 @@
+"""Data layer tests: datasets, splits, degradation loader."""
+
+import numpy as np
+import pytest
+
+from ddpm_image_restoration_tpu.config import get_preset
+from ddpm_image_restoration_tpu.data import (
+    DegradationLoader,
+    ImageFolderDataset,
+    SyntheticImageDataset,
+    split_indices,
+)
+
+
+def test_synthetic_deterministic():
+    ds = SyntheticImageDataset(8, 32, seed=1)
+    a, b = ds[3], ds[3]
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (32, 32, 3) and a.dtype == np.float32
+    assert a.min() >= -1 and a.max() <= 1
+    assert np.abs(ds[3] - ds[4]).max() > 0.1  # distinct samples
+
+
+def test_image_folder(tmp_path):
+    from PIL import Image
+
+    for i in range(3):
+        Image.new("RGB", (40, 20), (i * 40, 100, 200)).save(tmp_path / f"im{i}.png")
+    (tmp_path / "notes.txt").write_text("ignored")
+    ds = ImageFolderDataset(str(tmp_path), image_size=16)
+    assert len(ds) == 3
+    x = ds[0]
+    assert x.shape == (16, 16, 3)
+    assert -1 <= x.min() and x.max() <= 1
+
+
+def test_image_folder_empty(tmp_path):
+    with pytest.raises(ValueError):
+        ImageFolderDataset(str(tmp_path))
+
+
+def test_split_deterministic_and_disjoint():
+    tr, va, te = split_indices(100, (0.8, 0.1, 0.1), seed=42)
+    tr2, _, _ = split_indices(100, (0.8, 0.1, 0.1), seed=42)
+    np.testing.assert_array_equal(tr, tr2)
+    assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+    assert len(set(tr) | set(va) | set(te)) == 100
+
+
+def test_degradation_loader_epoch():
+    ds = SyntheticImageDataset(12, 16)
+    loader = DegradationLoader(
+        ds, np.arange(12), get_preset("jpeg"), batch_size=4, steps=100, seed=0
+    )
+    assert loader.steps_per_epoch() == 3
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["x0"].shape == (4, 16, 16, 3)
+    assert b["xt"].shape == (4, 16, 16, 3)
+    assert b["t"].shape == (4,) and b["t"].min() >= 1 and b["t"].max() < 100
+    assert b["quality"].min() >= 1
+    # degraded differs from clean
+    assert np.abs(b["x0"] - b["xt"]).mean() > 1e-4
+    # epoch reshuffles deterministically per (seed, epoch)
+    b0 = next(iter(loader.epoch(0)))
+    np.testing.assert_array_equal(b0["x0"], batches[0]["x0"])
+    b1 = next(iter(loader.epoch(1)))
+    assert np.abs(b1["x0"] - batches[0]["x0"]).max() > 0
+
+
+def test_degradation_loader_host_sharding():
+    ds = SyntheticImageDataset(16, 16)
+    l0 = DegradationLoader(ds, np.arange(16), get_preset("jpeg"), 2, host_id=0, num_hosts=2)
+    l1 = DegradationLoader(ds, np.arange(16), get_preset("jpeg"), 2, host_id=1, num_hosts=2)
+    assert len(set(l0.indices) & set(l1.indices)) == 0
+    assert len(l0.indices) + len(l1.indices) == 16
+
+
+def test_eval_batches():
+    ds = SyntheticImageDataset(10, 16)
+    loader = DegradationLoader(ds, np.arange(10), get_preset("webp"), 4)
+    sizes = [b.shape[0] for b in loader.eval_batches()]
+    assert sizes == [4, 4, 2]

@@ -1,0 +1,116 @@
+"""Metric layer tests: PSNR/SSIM/L2 formulas, LPIPS proxy ordering, Fréchet
+distance machinery, evaluation harness end-to-end."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_image_restoration_tpu.evaluation.fid import (
+    RandomConvFeatureExtractor,
+    compute_statistics,
+    fid_between,
+    frechet_distance,
+)
+from ddpm_image_restoration_tpu.evaluation.lpips import LPIPS
+from ddpm_image_restoration_tpu.evaluation.metrics import normalized_l2, psnr, ssim_metric
+
+
+def test_psnr_known_value():
+    a = jnp.zeros((1, 16, 16, 3))
+    b = jnp.full((1, 16, 16, 3), 0.2)  # [-1,1] -> 0.1 difference in [0,1]
+    # mse = 0.01 -> psnr = 20
+    assert float(psnr(a, b)) == pytest.approx(20.0, abs=0.01)
+
+
+def test_psnr_identical_capped_by_eps():
+    a = jnp.zeros((1, 16, 16, 3))
+    assert float(psnr(a, a)) == pytest.approx(80.0, abs=0.1)  # -10*log10(1e-8)
+
+
+def test_l2_formula(rng):
+    a = jnp.asarray(rng.normal(0, 0.3, (2, 8, 8, 3)).astype("f"))
+    b = jnp.zeros_like(a)
+    v = float(normalized_l2(a, b))
+    a01 = np.clip(np.asarray(a) * 0.5 + 0.5, 0, 1)
+    b01 = np.full_like(a01, 0.5)
+    expected = np.linalg.norm((a01 - b01).ravel()) / np.sqrt(a01.size)
+    assert v == pytest.approx(expected, rel=1e-5)
+
+
+def test_lpips_ordering(rng, small_images):
+    lp = LPIPS()
+    x = jnp.asarray(small_images)
+    near = jnp.clip(x + 0.02 * rng.standard_normal(x.shape).astype("f"), -1, 1)
+    far = jnp.clip(x + 0.5 * rng.standard_normal(x.shape).astype("f"), -1, 1)
+    d_self = np.asarray(lp(x, x))
+    d_near = np.asarray(lp(x, near))
+    d_far = np.asarray(lp(x, far))
+    assert d_self.shape == (4,)
+    assert np.all(d_self < 1e-6)
+    assert np.all(d_near < d_far)
+
+
+def test_frechet_distance_identity_and_shift(rng):
+    f = rng.normal(size=(200, 8))
+    mu, sig = compute_statistics(f)
+    assert frechet_distance(mu, sig, mu, sig) == pytest.approx(0.0, abs=1e-6)
+    mu2, sig2 = compute_statistics(f + 3.0)
+    d = frechet_distance(mu, sig, mu2, sig2)
+    assert d == pytest.approx(8 * 9.0, rel=0.05)  # |shift|^2 = D * 3^2
+
+
+def test_fid_between_monotone_in_noise(rng):
+    base = np.clip(
+        0.5 + 0.2 * rng.normal(size=(48, 16, 16, 3)), 0, 1
+    ).astype(np.float32)
+    ex = RandomConvFeatureExtractor(dim=32)
+    d_small = fid_between(np.clip(base + 0.05 * rng.normal(size=base.shape), 0, 1).astype("f"), base, ex)
+    d_large = fid_between(np.clip(base + 0.4 * rng.normal(size=base.shape), 0, 1).astype("f"), base, ex)
+    assert 0 < d_small < d_large
+
+
+@pytest.mark.slow
+def test_eval_harness_end_to_end(tmp_path):
+    import jax
+
+    from ddpm_image_restoration_tpu.config import EvalConfig
+    from ddpm_image_restoration_tpu.data import SyntheticImageDataset
+    from ddpm_image_restoration_tpu.evaluation.harness import (
+        evaluate_restoration,
+        format_comparative_table,
+    )
+    from ddpm_image_restoration_tpu.models import build_model
+    from tests._tiny import MINI
+
+    cfg = EvalConfig(
+        codec="jpeg",
+        model=MINI,
+        steps=10,
+        output_dir=str(tmp_path),
+        qualities_override=(10, 50),
+    )
+    model = build_model("jpeg", MINI)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros(1)
+    )
+    ds = SyntheticImageDataset(8, 16)
+    images = np.stack([ds[i] for i in range(8)])
+    summary = evaluate_restoration(
+        cfg, model, params["params"], images, batch_size=4, verbose=False
+    )
+    assert set(summary["results"].keys()) == {"10", "50"}
+    r10 = summary["results"]["10"]
+    for k in ["compressed_psnr", "restored_psnr", "compressed_ssim", "restored_ssim",
+              "compressed_lpips", "restored_lpips", "compressed_l2", "restored_l2",
+              "compressed_fid", "restored_fid", "images_per_sec"]:
+        assert k in r10, k
+    # compressed metrics reflect real degradation ordering
+    assert summary["results"]["10"]["compressed_psnr"] < summary["results"]["50"]["compressed_psnr"]
+    assert (tmp_path / "metrics_summary.json").exists()
+    assert (tmp_path / "examples_q10.png").exists()
+    assert (tmp_path / "metric_panels.png").exists()
+    table = format_comparative_table(summary)
+    assert "JPEG" in table and "PSNR" in table
+    json.loads((tmp_path / "metrics_summary.json").read_text())

@@ -9,13 +9,7 @@ import pytest
 from ddpm_image_restoration_tpu.config import ModelConfig
 from ddpm_image_restoration_tpu.models import TimeEmbedding, build_model
 
-TINY = ModelConfig(
-    image_size=32,
-    enc_widths=(8, 16, 16, 32, 32),
-    bottleneck_widths=(32, 32, 32),
-    time_dim=32,
-    compute_dtype="float32",
-)
+from tests._tiny import TINY5 as TINY  # noqa: E402
 
 
 @pytest.fixture
