@@ -47,7 +47,15 @@ class DegradationLoader:
         num_hosts: int = 1,
         prefetch: int = 2,
         drop_remainder: bool = True,
+        degradation_backend: str = "pil",
     ):
+        """degradation_backend:
+        'pil'              — real codec bitstreams via libjpeg/libwebp/libaom
+                             (reference-exact degradation).
+        'native_surrogate' — the C++ codec engine (native/codec_engine.cpp):
+                             faster, and numerically consistent with the
+                             on-device in-sampler consistency step.
+        """
         self.dataset = dataset
         self.indices = np.asarray(indices)[host_id::num_hosts]
         self.preset = preset
@@ -56,6 +64,9 @@ class DegradationLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_remainder = drop_remainder
+        if degradation_backend not in ("pil", "native_surrogate"):
+            raise ValueError(degradation_backend)
+        self.degradation_backend = degradation_backend
 
     def steps_per_epoch(self) -> int:
         if self.drop_remainder:
@@ -68,7 +79,14 @@ class DegradationLoader:
         t = rng.integers(1, self.steps, size=len(idxs))
         quality = quality_for_timestep(t, self.steps, qr)
         quality = np.maximum(quality, self.preset.quality_min)
-        xt = compress_batch(x0, self.preset.name, quality)
+        if self.degradation_backend == "native_surrogate":
+            from ddpm_image_restoration_tpu.codecs.native import (
+                codec_surrogate_native,
+            )
+
+            xt = codec_surrogate_native(x0, np.maximum(quality, 1), self.preset.name)
+        else:
+            xt = compress_batch(x0, self.preset.name, quality)
         return {
             "x0": x0.astype(np.float32),
             "xt": xt.astype(np.float32),

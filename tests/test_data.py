@@ -77,6 +77,27 @@ def test_degradation_loader_host_sharding():
     assert len(l0.indices) + len(l1.indices) == 16
 
 
+def test_degradation_loader_native_backend():
+    from ddpm_image_restoration_tpu.codecs.native import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    ds = SyntheticImageDataset(8, 16)
+    loader = DegradationLoader(
+        ds, np.arange(8), get_preset("jpeg"), 4, degradation_backend="native_surrogate"
+    )
+    b = next(iter(loader.epoch(0)))
+    assert b["xt"].shape == (4, 16, 16, 3)
+    assert np.abs(b["x0"] - b["xt"]).mean() > 1e-5
+
+
+def test_degradation_loader_bad_backend():
+    ds = SyntheticImageDataset(8, 16)
+    with pytest.raises(ValueError):
+        DegradationLoader(ds, np.arange(8), get_preset("jpeg"), 4,
+                          degradation_backend="nope")
+
+
 def test_eval_batches():
     ds = SyntheticImageDataset(10, 16)
     loader = DegradationLoader(ds, np.arange(10), get_preset("webp"), 4)
