@@ -73,6 +73,40 @@ def low_freq_mask(h: int, w: int, block_size: int, low_size: int) -> jnp.ndarray
     return jnp.asarray(_low_freq_mask_np(h, w, block_size, low_size))[None, :, :, None]
 
 
+def image_to_dct(x: jnp.ndarray) -> jnp.ndarray:
+    """Full-plane 2-D DCT of each YCbCr channel (the reference's cv2-based
+    img_to_dct helper, dct.ipynb cell 0: RGB->YCrCb + per-channel cv2.dct).
+    Input NHWC RGB in [-1,1]; output NHWC DCT coefficients (YCbCr order)."""
+    from ddpm_image_restoration_tpu.codecs.surrogate import rgb_to_ycbcr
+
+    ycc = rgb_to_ycbcr((x.astype(jnp.float32) + 1.0) * 0.5)
+    h, w = x.shape[1], x.shape[2]
+    d_h = jnp.asarray(dct_matrix(h))
+    d_w = jnp.asarray(dct_matrix(w))
+    planes = jnp.moveaxis(ycc, -1, 1)          # [B,3,H,W]
+    coeffs = jnp.einsum(
+        "ij,bcjk,lk->bcil", d_h, planes, d_w,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(coeffs, 1, -1)
+
+
+def dct_to_image(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `image_to_dct`: coefficients -> RGB in [-1,1]."""
+    from ddpm_image_restoration_tpu.codecs.surrogate import ycbcr_to_rgb
+
+    h, w = coeffs.shape[1], coeffs.shape[2]
+    d_h = jnp.asarray(dct_matrix(h))
+    d_w = jnp.asarray(dct_matrix(w))
+    planes = jnp.moveaxis(coeffs.astype(jnp.float32), -1, 1)
+    ycc = jnp.einsum(
+        "ji,bcjk,kl->bcil", d_h, planes, d_w,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rgb = ycbcr_to_rgb(jnp.moveaxis(ycc, 1, -1))
+    return jnp.clip(rgb * 2.0 - 1.0, -1.0, 1.0)
+
+
 def adjusted_group_count(channels: int, max_groups: int = 8) -> int:
     """GroupNorm group count with the reference's divisor-adjust rule
     (webp_training.py:277-279): min(8, C) reduced until it divides C."""

@@ -54,6 +54,19 @@ def test_low_freq_mask_matches_reference_loop():
     assert float(m.sum()) == 16 * 9  # 16 tiles x 3x3 low corner
 
 
+def test_image_dct_roundtrip(rng):
+    from ddpm_image_restoration_tpu.ops.dct import dct_to_image, image_to_dct
+
+    x = jnp.asarray(np.clip(rng.normal(0, 0.3, (2, 16, 16, 3)), -0.9, 0.9).astype("f"))
+    coeffs = image_to_dct(x)
+    assert coeffs.shape == x.shape
+    back = dct_to_image(coeffs)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+    # DC coefficient dominates for a smooth image
+    energy = np.asarray(coeffs[0, :, :, 0] ** 2)
+    assert energy[0, 0] > 0.2 * energy.sum() or energy.sum() < 1e-6
+
+
 def test_adjusted_group_count():
     # reference rule: min(8, c), decremented until it divides c
     assert adjusted_group_count(64) == 8
