@@ -23,7 +23,7 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 50.0
 
 
-def build(size: int, attn_impl: str, widths_scale: int = 1):
+def build(size: int, attn_impl: str, widths_scale: int = 1, attn_max_res: int = 1024):
     from ddpm_image_restoration_tpu.config import ModelConfig
     from ddpm_image_restoration_tpu.models import build_model
 
@@ -31,17 +31,19 @@ def build(size: int, attn_impl: str, widths_scale: int = 1):
         image_size=size,
         compute_dtype="bfloat16",
         attention_impl=attn_impl,
+        attn_max_resolution=attn_max_res,
     )
     if widths_scale > 1:
         cfg = cfg.scaled(widths_scale)
     return build_model("webp", cfg), cfg
 
 
-def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: int = 30):
+def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: int = 30,
+                  stride: int = 1, attn_max_res: int = 1024):
     from ddpm_image_restoration_tpu.config import get_preset
     from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
 
-    model, cfg = build(size, attn_impl)
+    model, cfg = build(size, attn_impl, attn_max_res=attn_max_res)
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros(batch))
     sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
@@ -52,14 +54,16 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
     # compile + warmup (two rounds: the axon-tunneled TPU platform's
     # block_until_ready does not reliably block, so force a host transfer)
     for k in (100, 101):
-        out = sampler.sample(params, y, quality=quality, steps=steps, key=jax.random.PRNGKey(k))
+        out = sampler.sample(params, y, quality=quality, steps=steps,
+                             key=jax.random.PRNGKey(k), stride=stride)
         np.asarray(out)
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = sampler.sample(
-            params, y, quality=quality, steps=steps, key=jax.random.PRNGKey(i)
+            params, y, quality=quality, steps=steps, key=jax.random.PRNGKey(i),
+            stride=stride,
         )
         np.asarray(out)  # full sync: device compute + device->host transfer
     dt = (time.perf_counter() - t0) / n_iters
@@ -73,6 +77,9 @@ def main():
     ap.add_argument("--steps", type=int, default=70, help="init_t for q=30 (full restore)")
     ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
     ap.add_argument("--quality", type=int, default=30)
+    ap.add_argument("--stride", type=int, default=1,
+                    help=">1 = reduced-step accelerated solver")
+    ap.add_argument("--attn-max-res", type=int, default=1024)
     args = ap.parse_args()
 
     candidates = [args.batch] if args.batch else [16, 8, 4, 2, 1]
@@ -80,13 +87,15 @@ def main():
     for b in candidates:
         try:
             imgs_per_sec, dt = bench_restore(
-                args.size, b, args.steps, args.attn, args.quality
+                args.size, b, args.steps, args.attn, args.quality,
+                stride=args.stride, attn_max_res=args.attn_max_res,
             )
             print(
                 json.dumps(
                     {
                         "metric": f"images/sec/chip at {args.size}^2 full DDPM restore "
-                        f"({args.steps} steps, q={args.quality}, batch {b}, {args.attn} attn)",
+                        f"({args.steps} steps, stride {args.stride}, q={args.quality}, "
+                        f"batch {b}, {args.attn} attn)",
                         "value": round(imgs_per_sec, 4),
                         "unit": "images/sec/chip",
                         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 4),

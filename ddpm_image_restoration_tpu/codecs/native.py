@@ -45,7 +45,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.codec_surrogate_batch.restype = ctypes.c_int
         lib.codec_surrogate_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
@@ -74,6 +74,12 @@ def codec_surrogate_native(
     assert c == 3, "NHWC RGB expected"
     q = np.broadcast_to(np.asarray(quality, np.int32).reshape(-1), (b,))
     q = np.ascontiguousarray(q, dtype=np.int32)
+    from ddpm_image_restoration_tpu.codecs.surrogate import _CALIBRATION
+
+    q_grid, m_grid = _CALIBRATION[codec]
+    mult = np.ascontiguousarray(
+        np.interp(q.astype(np.float64), q_grid, m_grid), dtype=np.float32
+    )
     if lib is None:
         import jax.numpy as jnp
 
@@ -88,6 +94,7 @@ def codec_surrogate_native(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mult.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         b, h, w, _CODEC_IDS[codec], int(subsample), n_threads,
     )
     if rc != 0:

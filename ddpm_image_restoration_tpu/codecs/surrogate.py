@@ -70,6 +70,20 @@ def dct_matrix(n: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def kron_dct_matrix(n: int) -> np.ndarray:
+    """D ⊗ D [n², n²]: vec(D·X·Dᵀ) = (D⊗D)·vec(X) for row-major vec.
+
+    Lets the blockwise 2-D DCT run as ONE [N, n²] x [n², n²] matmul instead of
+    two tiny nxn contractions — the nxn einsum form leaves the 128x128 MXU
+    ~97% idle (n=4/8), and the blockwise DCT is on the sampler's hot path
+    (surrogate consistency every step + the frequency module in all 13 UNet
+    blocks).
+    """
+    d = dct_matrix(n).astype(np.float64)
+    return np.kron(d, d).astype(np.float32)
+
+
 def blockify(x: jnp.ndarray, b: int) -> jnp.ndarray:
     """[..., H, W] -> [..., H//b, W//b, b, b] static reshape (no data movement beyond transpose)."""
     *lead, h, w = x.shape
@@ -84,18 +98,28 @@ def unblockify(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def block_dct2(x: jnp.ndarray, b: int) -> jnp.ndarray:
-    """Blockwise 2-D DCT of [..., H, W]; returns block layout [..., H//b, W//b, b, b]."""
-    d = jnp.asarray(dct_matrix(b), dtype=x.dtype)
-    blocks = blockify(x, b)
-    # HIGHEST precision: these are tiny bxb contractions but quantization is
-    # sensitive to coefficient error; bf16 MXU accumulation is not enough.
-    return jnp.einsum("ij,...jk,lk->...il", d, blocks, d, precision=jax.lax.Precision.HIGHEST)
+    """Blockwise 2-D DCT of [..., H, W]; returns block layout [..., H//b, W//b, b, b].
+
+    Computed as a flattened Kronecker matmul (one [N, b²] x [b², b²] GEMM) —
+    MXU-friendly, vs. two b x b contractions that waste >95% of the array.
+    HIGHEST precision: quantization is sensitive to coefficient error.
+    """
+    k = jnp.asarray(kron_dct_matrix(b), dtype=x.dtype)
+    blocks = blockify(x, b)                                   # [..., hb, wb, b, b]
+    flat = blocks.reshape(*blocks.shape[:-2], b * b)
+    coeffs = jnp.einsum(
+        "...p,qp->...q", flat, k, precision=jax.lax.Precision.HIGHEST
+    )
+    return coeffs.reshape(blocks.shape)
 
 
 def block_idct2(coeffs: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     b = coeffs.shape[-1]
-    d = jnp.asarray(dct_matrix(b), dtype=coeffs.dtype)
-    blocks = jnp.einsum("ji,...jk,kl->...il", d, coeffs, d, precision=jax.lax.Precision.HIGHEST)
+    k = jnp.asarray(kron_dct_matrix(b), dtype=coeffs.dtype)
+    flat = coeffs.reshape(*coeffs.shape[:-2], b * b)
+    blocks = jnp.einsum(
+        "...q,qp->...p", flat, k, precision=jax.lax.Precision.HIGHEST
+    ).reshape(coeffs.shape)
     return unblockify(blocks, h, w)
 
 
@@ -196,9 +220,21 @@ def _subsample_420(c: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 _BLOCK = {"jpeg": 8, "webp": 4, "avif": 8}
-# Calibrated strength multipliers so surrogate distortion tracks the real codec
-# (see tests/test_surrogate.py monotonicity + proximity checks).
-_STRENGTH = {"jpeg": 1.0, "webp": 1.0, "avif": 1.0}
+# Per-codec quality-indexed quant-strength multipliers, fitted so the
+# surrogate's MSE-vs-clean matches the real codec's at each quality on a
+# calibration set (scripts/calibrate_surrogate.py); linearly interpolated in
+# quality at runtime. Identity (1.0) until calibrated.
+_CALIBRATION = {
+    "jpeg": ([1, 5, 10, 20, 30, 50, 70, 85, 95, 100],
+             [1.0108, 1.0387, 1.1612, 1.5343, 1.8622, 0.9984, 1.03, 1.0816,
+              1.246, 2.4954]),
+    "webp": ([1, 5, 10, 20, 30, 50, 70, 85, 95, 100],
+             [0.6374, 0.6594, 1.1149, 1.72, 2.0878, 2.5105, 3.2773, 4.0004,
+              7.6109, 17.7268]),
+    "avif": ([1, 5, 10, 20, 30, 50, 70, 85, 95, 100],
+             [0.4777, 0.4404, 0.6389, 0.7748, 0.7885, 0.6934, 0.3884, 0.4459,
+              0.7974, 2.0384]),
+}
 
 
 def _base_tables(codec: str):
@@ -233,11 +269,31 @@ def codec_surrogate(
     Returns:
       [B,H,W,3] in [-1,1], same dtype as x.
     """
+    bsz = x.shape[0]
+    q_vec = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (bsz,))
+    q_grid, m_grid = _CALIBRATION[codec]
+    mult = jnp.interp(q_vec, jnp.asarray(q_grid, jnp.float32),
+                      jnp.asarray(m_grid, jnp.float32))
+    return _surrogate_raw(x, q_vec, codec, subsample, mult)
+
+
+@functools.partial(jax.jit, static_argnames=("codec", "subsample"))
+def _surrogate_raw(
+    x: jnp.ndarray,
+    quality: jnp.ndarray,
+    codec: str,
+    subsample: bool,
+    strength_mult: jnp.ndarray,
+) -> jnp.ndarray:
+    """Uncalibrated surrogate core; strength_mult scales the quant tables."""
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
     b = _BLOCK[codec]
     bsz, h, w, _ = x.shape
     quality = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (bsz,))
+    strength_mult = jnp.broadcast_to(
+        jnp.asarray(strength_mult, jnp.float32), (bsz,)
+    )[:, None, None]
 
     # to [0,255] YCbCr, centered at 0 for the DCT
     rgb01 = (x + 1.0) * 0.5
@@ -255,9 +311,8 @@ def codec_surrogate(
         cr = w420 * _subsample_420(cr) + (1.0 - w420) * cr
 
     luma_t, chroma_t = _base_tables(codec)
-    strength = _STRENGTH[codec]
-    qt_l = _scaled_table(jnp.asarray(luma_t), quality) * strength      # [B,b,b]
-    qt_c = _scaled_table(jnp.asarray(chroma_t), quality) * strength
+    qt_l = _scaled_table(jnp.asarray(luma_t), quality) * strength_mult   # [B,b,b]
+    qt_c = _scaled_table(jnp.asarray(chroma_t), quality) * strength_mult
 
     def quantize_channel(chan: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
         coeffs = block_dct2(chan, b)                       # [B,H/b,W/b,b,b]

@@ -107,7 +107,7 @@ class DDRMSampler:
         self.prediction = prediction
         self._compiled = {}
 
-    def _build(self, steps: int):
+    def _build(self, steps: int, stride: int = 1):
         preset = self.preset
         model = self.model
         consistency = self.consistency
@@ -118,8 +118,14 @@ class DDRMSampler:
             b = y.shape[0]
             y = y.astype(jnp.float32)
             q_vec = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (b,))
-            # static-shape per-step indices, descending (webp_training.py:437)
-            idxs = jnp.arange(steps - 1, -1, -1)
+            # static-shape per-step indices, descending (webp_training.py:437).
+            # stride > 1 = reduced-step accelerated solver: visit every
+            # stride-th timestep (always ending at 0); each visited step uses
+            # the reference's exact update rule at its own t = i/steps.
+            host_idxs = np.arange(steps - 1, -1, -stride)
+            if host_idxs[-1] != 0:
+                host_idxs = np.append(host_idxs, 0)
+            idxs = jnp.asarray(host_idxs)
 
             def step(carry, i):
                 x_t, key = carry
@@ -167,19 +173,22 @@ class DDRMSampler:
         key: Optional[jax.Array] = None,
         eta: Optional[float] = None,
         eta_b: Optional[float] = None,
+        stride: int = 1,
     ) -> jnp.ndarray:
         """Restore compressed observation y (NHWC, [-1,1]) at codec `quality`.
 
         `steps` is both the scan length and the time normalizer, matching the
         reference's sample(y, q, steps=init_t) calling convention
-        (webp_training.py:566).
+        (webp_training.py:566). `stride` > 1 runs the reduced-step
+        accelerated solver (steps/stride model evaluations).
         """
-        if steps not in self._compiled:
-            self._compiled[steps] = self._build(steps)
+        sig = (steps, stride)
+        if sig not in self._compiled:
+            self._compiled[sig] = self._build(steps, stride)
         if key is None:
             key = jax.random.PRNGKey(0)
         eta = self.preset.eta if eta is None else eta
         eta_b = self.preset.eta_b if eta_b is None else eta_b
-        return self._compiled[steps](
+        return self._compiled[sig](
             params, y, quality, key, jnp.float32(eta), jnp.float32(eta_b)
         )

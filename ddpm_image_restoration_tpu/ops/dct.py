@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ddpm_image_restoration_tpu.codecs.surrogate import dct_matrix
+from ddpm_image_restoration_tpu.codecs.surrogate import dct_matrix, kron_dct_matrix
 
 
 def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
@@ -41,12 +41,14 @@ def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
         hp, wp = (-h) % bs, (-w) % bs
         x_p = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
         return spatial_block_dct(x_p, bs)[:, :h, :w, :]
-    d = jnp.asarray(dct_matrix(bs), dtype=x.dtype)
-    tiles = x.reshape(b, h // bs, bs, w // bs, bs, c)
-    coeffs = jnp.einsum(
-        "ij,bhjwkc,lk->bhiwlc", d, tiles, d,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # one [N, bs²] x [bs², bs²] Kronecker GEMM instead of two bs x bs
+    # contractions (MXU-friendly; this runs in every UNet block)
+    k = jnp.asarray(kron_dct_matrix(bs), dtype=x.dtype)
+    hb, wb = h // bs, w // bs
+    tiles = x.reshape(b, hb, bs, wb, bs, c).transpose(0, 1, 3, 5, 2, 4)
+    flat = tiles.reshape(b, hb, wb, c, bs * bs)
+    coeffs = jnp.einsum("...p,qp->...q", flat, k, precision=jax.lax.Precision.HIGHEST)
+    coeffs = coeffs.reshape(b, hb, wb, c, bs, bs).transpose(0, 1, 4, 2, 5, 3)
     return coeffs.reshape(b, h, w, c)
 
 

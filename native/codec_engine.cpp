@@ -11,9 +11,11 @@
 //
 // ABI (ctypes):
 //   int codec_surrogate_batch(const float* x, float* out, const int* quality,
+//                             const float* strength_mult,
 //                             int b, int h, int w, int codec,
 //                             int subsample420, int n_threads);
 //     x/out: float32 [B,H,W,3] NHWC in [-1,1]; quality: int32 [B];
+//     strength_mult: float32 [B] calibration multipliers (1.0 = uncalibrated);
 //     codec: 0=jpeg(8x8 Annex-K tables) 1=webp(4x4 flat-ish) 2=avif(8x8 smooth)
 //     returns 0 on success.
 //
@@ -135,7 +137,7 @@ void quantise_plane(float* plane, int h, int w, const Tables& tb,
 }
 
 void process_image(const float* x, float* out, int h, int w, int quality,
-                   const Tables& tb, bool subsample) {
+                   float strength_mult, const Tables& tb, bool subsample) {
   const int n = h * w;
   std::vector<float> y(n), cb(n), cr(n);
   // RGB [-1,1] -> YCbCr in [0,255] gauge (Y centered at 0 for the DCT)
@@ -171,9 +173,10 @@ void process_image(const float* x, float* out, int h, int w, int quality,
   const float gauge = tb.block / 8.0f;
   std::vector<float> ql(bsq), qc(bsq);
   float s = quality_scale(quality) / 100.0f;
+  const float g = gauge * strength_mult;
   for (int i = 0; i < bsq; ++i) {
-    ql[i] = std::min(255.f, std::max(1.f, std::floor(tb.luma[i] * s + .5f))) * gauge;
-    qc[i] = std::min(255.f, std::max(1.f, std::floor(tb.chroma[i] * s + .5f))) * gauge;
+    ql[i] = std::min(255.f, std::max(1.f, std::floor(tb.luma[i] * s + .5f))) * g;
+    qc[i] = std::min(255.f, std::max(1.f, std::floor(tb.chroma[i] * s + .5f))) * g;
   }
   quantise_plane(y.data(), h, w, tb, ql.data());
   quantise_plane(cb.data(), h, w, tb, qc.data());
@@ -193,7 +196,8 @@ void process_image(const float* x, float* out, int h, int w, int quality,
 }  // namespace
 
 extern "C" int codec_surrogate_batch(const float* x, float* out,
-                                     const int32_t* quality, int b, int h,
+                                     const int32_t* quality,
+                                     const float* strength_mult, int b, int h,
                                      int w, int codec, int subsample420,
                                      int n_threads) {
   if (b <= 0 || h <= 0 || w <= 0) return 1;
@@ -209,7 +213,8 @@ extern "C" int codec_surrogate_batch(const float* x, float* out,
   for (int t = 0; t < n_threads; ++t) {
     workers.emplace_back([&, t]() {
       for (int i = t; i < b; i += n_threads)
-        process_image(x + i * stride, out + i * stride, h, w, quality[i], tb,
+        process_image(x + i * stride, out + i * stride, h, w, quality[i],
+                      strength_mult ? strength_mult[i] : 1.0f, tb,
                       subsample420 != 0);
     });
   }
@@ -217,4 +222,4 @@ extern "C" int codec_surrogate_batch(const float* x, float* out,
   return 0;
 }
 
-extern "C" int codec_engine_version() { return 1; }
+extern "C" int codec_engine_version() { return 2; }

@@ -65,6 +65,18 @@ def test_ddrm_zero_codec_adds_prediction(y32):
     np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
 
 
+def test_ddrm_strided_solver(y32):
+    """Reduced-step solver: identity-codec algebra holds at any stride, and
+    the scan visits ~steps/stride indices (ends at 0)."""
+    preset = get_preset("webp")
+    sampler = DDRMSampler(_ZeroModel(), preset)
+    sampler.consistency = lambda x, q: x
+    sampler._compiled.clear()
+    out = sampler.sample(None, y32, quality=50, steps=20, eta=0.0, stride=7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
+    assert (20, 7) in sampler._compiled
+
+
 def test_ddrm_real_model_smoke(y32):
     model = build_model("webp", TINY)
     params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))

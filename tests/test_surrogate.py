@@ -77,6 +77,24 @@ def test_surrogate_differentiable(small_images):
     assert float(jnp.abs(g).max()) > 0  # straight-through round passes gradient
 
 
+@pytest.mark.parametrize("codec", ["jpeg", "webp", "avif"])
+def test_calibrated_surrogate_tracks_real(codec):
+    """After calibration (scripts/calibrate_surrogate.py), surrogate PSNR must
+    stay within ~2dB of the real codec on in-distribution images."""
+    from ddpm_image_restoration_tpu.data import SyntheticImageDataset
+
+    ds = SyntheticImageDataset(8, 64, seed=3)  # different seed than calibration
+    x = np.stack([ds[i] for i in range(8)])
+    xd = jnp.asarray(x)
+    for q in [10, 30, 70]:
+        real = pil_codecs.compress_batch(x, codec, q)
+        sur = np.asarray(codec_surrogate(xd, jnp.float32(q), codec=codec))
+        p = lambda a: -10 * np.log10(np.mean((a - x) ** 2) + 1e-9)
+        assert abs(p(real) - p(sur)) < 2.0, (
+            f"{codec} q{q}: real {p(real):.2f}dB vs surrogate {p(sur):.2f}dB"
+        )
+
+
 def test_surrogate_tracks_real_jpeg(small_images):
     """Surrogate distortion should be within ~a factor of real JPEG distortion."""
     x = jnp.asarray(small_images)
