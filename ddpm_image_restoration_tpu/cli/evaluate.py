@@ -24,7 +24,10 @@ def main(argv=None):
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback"])
     ap.add_argument("--no-fid", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, metavar="N")
+    ap.add_argument("--synthetic-seed", type=int, default=99,
+                    help="synthetic eval images use a held-out seed by default")
     ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--prediction", default="direct", choices=["direct", "residual"])
     ap.add_argument("--qualities", type=int, nargs="*", default=None,
                     help="override the preset's eval quality list")
     args = ap.parse_args(argv)
@@ -58,14 +61,16 @@ def main(argv=None):
         print(f"loaded checkpoint: {meta}")
 
     if args.synthetic:
-        ds = SyntheticImageDataset(args.synthetic, cfg.model.image_size)
+        ds = SyntheticImageDataset(args.synthetic, cfg.model.image_size,
+                                   seed=args.synthetic_seed)
         test_idx = np.arange(len(ds))
     else:
         ds = ImageFolderDataset(args.data_dir, cfg.model.image_size)
         _, _, test_idx = split_indices(len(ds))  # seeded test split
     images = np.stack([ds[int(i)] for i in test_idx])
 
-    evaluate_restoration(cfg, model, state.params, images, batch_size=args.batch_size)
+    evaluate_restoration(cfg, model, state.params, images,
+                         batch_size=args.batch_size, prediction=args.prediction)
 
 
 if __name__ == "__main__":

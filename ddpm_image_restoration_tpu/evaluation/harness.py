@@ -60,6 +60,8 @@ def evaluate_restoration(
     batch_size: int = 8,
     save_examples: int = 4,
     verbose: bool = True,
+    prediction: str = "direct",
+    stride: int = 1,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -70,7 +72,7 @@ def evaluate_restoration(
     if cfg.max_images:
         images = images[: cfg.max_images]  # AVIF caps at 500 (avif_inference.py:509-512)
 
-    sampler = DDRMSampler(model, preset, cfg.consistency_mode)
+    sampler = DDRMSampler(model, preset, cfg.consistency_mode, prediction=prediction)
     lpips_fn = LPIPS()
     extractor = default_feature_extractor() if cfg.compute_fid else None
     wrapped = {"params": params} if "params" not in params else params
@@ -90,7 +92,8 @@ def evaluate_restoration(
             y = compress_batch(x0, preset.name, quality)
             key, sub = jax.random.split(key)
             restored = np.asarray(
-                sampler.sample(wrapped, jnp.asarray(y), quality, init_t, key=sub)
+                sampler.sample(wrapped, jnp.asarray(y), quality, init_t, key=sub,
+                               stride=stride)
             )
             n_restored += len(x0)
 

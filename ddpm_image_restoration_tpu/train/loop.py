@@ -131,6 +131,7 @@ def train_model(
     logger = MetricLogger(cfg.checkpoint_dir)
     sampler = DDRMSampler(model, preset, cfg.consistency_mode)
     rng = jax.random.PRNGKey(cfg.seed + 1)
+    best_psnr = -float("inf")
 
     for epoch in range(start_epoch, epochs):
         t_start = time.time()
@@ -147,7 +148,13 @@ def train_model(
         if verbose:
             print(logger.summary(epoch, prefix=f"{preset.name} "))
 
-        ckpt.save(epoch, state, {"epoch": epoch, **val})
+        # save on a new best val-PSNR (reference best-checkpointing,
+        # webp_training.py:794-804), plus periodically for resume — async
+        # Orbax saves of a 100MB+ state every epoch otherwise dominate wall
+        # time on slow disks
+        if val["val_psnr"] > best_psnr or epoch % 10 == 0 or epoch == epochs - 1:
+            best_psnr = max(best_psnr, val["val_psnr"])
+            ckpt.save(epoch, state, {"epoch": epoch, **val})
 
         save_training_curves(
             os.path.join(cfg.checkpoint_dir, "curves", "training.png"), logger.history
