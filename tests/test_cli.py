@@ -1,0 +1,55 @@
+"""CLI smoke tests (argparse wiring + end-to-end drains), CPU, tiny model."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _mk_images(d, n=3, size=40):
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype=np.uint8).astype(
+            np.uint8)).save(d / f"im{i}.png")
+
+
+TINY_FLAGS = ["--image-size", "32", "--width-scale", "8", "--compute-dtype", "float32"]
+
+
+@pytest.mark.slow
+def test_serve_once_drains_directory(tmp_path):
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    _mk_images(watch, n=3)
+    main([
+        "--watch", str(watch), "--output-dir", str(out), "--codec", "webp",
+        *TINY_FLAGS, "--random-init", "--quality", "30", "--steps", "4",
+        "--batch-size", "2", "--once",
+    ])
+    outs = sorted(out.glob("*_restored.png"))
+    assert len(outs) == 3
+    # inputs moved aside; watch dir drained
+    assert not list(watch.glob("*.png"))
+    assert len(list((watch / "done").glob("*.png"))) == 3
+    img = np.asarray(Image.open(outs[0]))
+    assert img.shape == (32, 32, 3)
+
+
+def test_serve_requires_checkpoint(tmp_path):
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    (tmp_path / "in").mkdir()
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        main([
+            "--watch", str(tmp_path / "in"), "--output-dir", str(tmp_path / "out"),
+            *TINY_FLAGS, "--checkpoint-dir", str(tmp_path / "none"),
+        ])
+
+
+def test_train_cli_bad_flags():
+    from ddpm_image_restoration_tpu.cli.train import main
+
+    with pytest.raises(SystemExit):
+        main(["--codec", "gif"])
