@@ -9,7 +9,6 @@ is a documented flag with the reference value as default.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from ddpm_image_restoration_tpu.config import ModelConfig, TrainConfig, EvalConfig
 

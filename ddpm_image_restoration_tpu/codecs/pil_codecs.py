@@ -30,8 +30,6 @@ from typing import Optional, Sequence, Union
 import numpy as np
 from PIL import Image
 
-from ddpm_image_restoration_tpu.config import CodecPreset, get_preset
-
 # PIL >= 11 ships native AVIF support; older installs need the pillow_avif plugin.
 try:  # pragma: no cover - environment probe
     import pillow_avif  # noqa: F401

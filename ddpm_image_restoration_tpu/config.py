@@ -10,7 +10,7 @@ pipeline is a frozen `CodecPreset`, and training/eval knobs live in
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,7 +28,6 @@ scan's PRNG key instead of Python random.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

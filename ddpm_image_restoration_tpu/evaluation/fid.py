@@ -17,8 +17,7 @@ once (batched on device, sqrtm on host via scipy) and pluggable features:
 
 from __future__ import annotations
 
-import warnings
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

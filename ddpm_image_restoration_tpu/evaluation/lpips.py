@@ -18,7 +18,6 @@ Weights for the linear calibration can be supplied via npz
 
 from __future__ import annotations
 
-import warnings
 from typing import List, Optional
 
 import jax

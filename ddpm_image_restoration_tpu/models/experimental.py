@@ -27,10 +27,9 @@ diffusion/ddpm_schedule.py.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ddpm_image_restoration_tpu.models.freq_blocks import _level_col

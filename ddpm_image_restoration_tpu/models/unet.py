@@ -24,7 +24,7 @@ kernel, all frequency masks static constants.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

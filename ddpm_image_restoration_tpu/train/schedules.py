@@ -8,7 +8,6 @@ doubling periods.
 
 from __future__ import annotations
 
-import numpy as np
 import optax
 
 

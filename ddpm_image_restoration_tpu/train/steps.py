@@ -17,8 +17,7 @@ ICI via the mesh's implicit psum inserted by XLA.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
