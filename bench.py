@@ -81,7 +81,9 @@ def main():
     ap.add_argument("--attn-max-res", type=int, default=1024)
     args = ap.parse_args()
 
-    candidates = [args.batch] if args.batch else [16, 8, 4, 2, 1]
+    # batch 8 and 16 give the same img/s at 128^2 (compute-bound); default to 8
+    # so the auto path never burns a failed-OOM compile through the tunnel
+    candidates = [args.batch] if args.batch else [8, 4, 2, 1]
     last_err = None
     for b in candidates:
         try:
