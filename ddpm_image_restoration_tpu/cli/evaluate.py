@@ -28,6 +28,8 @@ def main(argv=None):
                     help="synthetic eval images use a held-out seed by default")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--prediction", default="direct", choices=["direct", "residual"])
+    ap.add_argument("--stride", type=int, default=1,
+                    help=">1 = reduced-step accelerated solver")
     ap.add_argument("--qualities", type=int, nargs="*", default=None,
                     help="override the preset's eval quality list")
     args = ap.parse_args(argv)
@@ -70,7 +72,8 @@ def main(argv=None):
     images = np.stack([ds[int(i)] for i in test_idx])
 
     evaluate_restoration(cfg, model, state.params, images,
-                         batch_size=args.batch_size, prediction=args.prediction)
+                         batch_size=args.batch_size, prediction=args.prediction,
+                         stride=args.stride)
 
 
 if __name__ == "__main__":
