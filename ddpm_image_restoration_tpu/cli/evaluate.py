@@ -32,6 +32,10 @@ def main(argv=None):
                     help=">1 = reduced-step accelerated solver")
     ap.add_argument("--qualities", type=int, nargs="*", default=None,
                     help="override the preset's eval quality list")
+    ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
+                    help="quality-gated blend: full restoration at q<=LO, "
+                    "untouched input at q>=HI (non-reference guard for "
+                    "near-lossless inputs)")
     args = ap.parse_args(argv)
 
     from ddpm_image_restoration_tpu.config import TrainConfig
@@ -73,7 +77,8 @@ def main(argv=None):
 
     evaluate_restoration(cfg, model, state.params, images,
                          batch_size=args.batch_size, prediction=args.prediction,
-                         stride=args.stride)
+                         stride=args.stride,
+                         protect=tuple(args.protect) if args.protect else None)
 
 
 if __name__ == "__main__":

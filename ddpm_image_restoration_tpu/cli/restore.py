@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback"])
     ap.add_argument("--random-init", action="store_true",
                     help="skip checkpoint loading (smoke tests)")
+    ap.add_argument("--stride", type=int, default=1,
+                    help=">1 = reduced-step accelerated solver")
+    ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
+                    help="quality-gated blend protecting near-lossless inputs")
     args = ap.parse_args(argv)
 
     from ddpm_image_restoration_tpu.config import TrainConfig, get_preset
@@ -68,7 +72,9 @@ def main(argv=None):
     sampler = DDRMSampler(model, preset, args.consistency)
     init_t = init_timestep_for_quality(args.quality, args.steps, preset)
     out = np.asarray(
-        sampler.sample({"params": state.params}, jnp.asarray(imgs), args.quality, init_t)
+        sampler.sample({"params": state.params}, jnp.asarray(imgs), args.quality, init_t,
+                       stride=args.stride,
+                       protect=tuple(args.protect) if args.protect else None)
     )
 
     os.makedirs(args.output_dir, exist_ok=True)

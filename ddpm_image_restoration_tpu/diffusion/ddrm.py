@@ -57,6 +57,23 @@ def phase_consistency(x: jnp.ndarray, ref: jnp.ndarray, alpha: float) -> jnp.nda
     return alpha * x + (1.0 - alpha) * adjusted
 
 
+def quality_gated_blend(
+    restored: jnp.ndarray,
+    y: jnp.ndarray,
+    quality,
+    lo: float,
+    hi: float,
+) -> jnp.ndarray:
+    """Protect near-lossless inputs from restoration damage (NOT in the
+    reference; flag-gated). The published tables (SURVEY.md §6) and our own
+    runs both show the smallest/negative gains at the highest qualities —
+    at q>=90 a full restoration pass can *lose* PSNR. Blend the restoration
+    back toward the observation with a linear ramp: full restoration at
+    quality <= lo, untouched observation at quality >= hi."""
+    w = jnp.clip((hi - jnp.asarray(quality, jnp.float32)) / (hi - lo), 0.0, 1.0)
+    return w * restored.astype(jnp.float32) + (1.0 - w) * y.astype(jnp.float32)
+
+
 def make_consistency_fn(
     codec: str, mode: str = "surrogate"
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
@@ -174,13 +191,16 @@ class DDRMSampler:
         eta: Optional[float] = None,
         eta_b: Optional[float] = None,
         stride: int = 1,
+        protect: Optional[tuple] = None,
     ) -> jnp.ndarray:
         """Restore compressed observation y (NHWC, [-1,1]) at codec `quality`.
 
         `steps` is both the scan length and the time normalizer, matching the
         reference's sample(y, q, steps=init_t) calling convention
         (webp_training.py:566). `stride` > 1 runs the reduced-step
-        accelerated solver (steps/stride model evaluations).
+        accelerated solver (steps/stride model evaluations). `protect`
+        = (lo, hi) enables the non-reference quality-gated blend that keeps
+        near-lossless inputs untouched (see `quality_gated_blend`).
         """
         sig = (steps, stride)
         if sig not in self._compiled:
@@ -189,6 +209,10 @@ class DDRMSampler:
             key = jax.random.PRNGKey(0)
         eta = self.preset.eta if eta is None else eta
         eta_b = self.preset.eta_b if eta_b is None else eta_b
-        return self._compiled[sig](
+        out = self._compiled[sig](
             params, y, quality, key, jnp.float32(eta), jnp.float32(eta_b)
         )
+        if protect is not None:
+            lo, hi = protect
+            out = quality_gated_blend(out, y, quality, float(lo), float(hi))
+        return out

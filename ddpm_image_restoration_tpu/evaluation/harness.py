@@ -62,6 +62,7 @@ def evaluate_restoration(
     verbose: bool = True,
     prediction: str = "direct",
     stride: int = 1,
+    protect=None,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -93,7 +94,7 @@ def evaluate_restoration(
             key, sub = jax.random.split(key)
             restored = np.asarray(
                 sampler.sample(wrapped, jnp.asarray(y), quality, init_t, key=sub,
-                               stride=stride)
+                               stride=stride, protect=protect)
             )
             n_restored += len(x0)
 

@@ -77,6 +77,32 @@ def test_ddrm_strided_solver(y32):
     assert (20, 7) in sampler._compiled
 
 
+def test_quality_gated_protect(y32):
+    """protect=(lo,hi): q>=hi returns y untouched, q<=lo full restoration,
+    midpoint is the even blend."""
+    preset = get_preset("webp")
+    sampler = DDRMSampler(_ZeroModel(), preset)
+    sampler.consistency = lambda x, q: jnp.zeros_like(x)  # restoration == y here
+    sampler._compiled.clear()
+    # make the restoration differ from y: model output 0, codec 0 -> x' = y,
+    # so use eta=0 but compare against a shifted observation via eta_b
+    out_hi = sampler.sample(None, y32, quality=95, steps=3, eta=0.0,
+                            protect=(70, 95))
+    np.testing.assert_allclose(np.asarray(out_hi), np.asarray(y32), atol=1e-5)
+
+    from ddpm_image_restoration_tpu.diffusion.ddrm import quality_gated_blend
+
+    restored = jnp.ones_like(y32)
+    full = quality_gated_blend(restored, y32, 50, 70.0, 90.0)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(restored), atol=1e-6)
+    off = quality_gated_blend(restored, y32, 95, 70.0, 90.0)
+    np.testing.assert_allclose(np.asarray(off), np.asarray(y32), atol=1e-6)
+    mid = quality_gated_blend(restored, y32, 80, 70.0, 90.0)
+    np.testing.assert_allclose(
+        np.asarray(mid), 0.5 * np.asarray(restored) + 0.5 * np.asarray(y32), atol=1e-6
+    )
+
+
 def test_ddrm_real_model_smoke(y32):
     model = build_model("webp", TINY)
     params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
