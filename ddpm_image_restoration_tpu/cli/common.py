@@ -9,8 +9,23 @@ is a documented flag with the reference value as default.
 from __future__ import annotations
 
 import argparse
+import os
 
 from ddpm_image_restoration_tpu.config import ModelConfig, TrainConfig, EvalConfig
+
+
+def configure_jax_cache():
+    """Enable the persistent XLA compilation cache for every CLI entry point.
+
+    Compiles on tunneled TPU platforms take minutes and are re-paid on every
+    process start without this; cached reruns warm up in seconds. Off by
+    setting DDPM_IR_JAX_CACHE=0."""
+    cache = os.environ.get("DDPM_IR_JAX_CACHE", "/tmp/ddpm_ir_jax_cache")
+    if cache and cache != "0":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def add_model_flags(ap: argparse.ArgumentParser):

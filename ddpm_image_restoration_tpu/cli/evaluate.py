@@ -7,7 +7,7 @@ import argparse
 
 import numpy as np
 
-from ddpm_image_restoration_tpu.cli.common import add_model_flags, eval_config_from
+from ddpm_image_restoration_tpu.cli.common import configure_jax_cache, add_model_flags, eval_config_from
 
 
 def main(argv=None):
@@ -21,7 +21,7 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--max-images", type=int, default=0, help="0 = all (AVIF ref caps at 500)")
     ap.add_argument("--batch-size", type=int, default=8)
-    ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback"])
+    ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--no-fid", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, metavar="N")
     ap.add_argument("--synthetic-seed", type=int, default=99,
@@ -37,6 +37,7 @@ def main(argv=None):
                     "untouched input at q>=HI (non-reference guard for "
                     "near-lossless inputs)")
     args = ap.parse_args(argv)
+    configure_jax_cache()
 
     from ddpm_image_restoration_tpu.config import TrainConfig
     from ddpm_image_restoration_tpu.data import (

@@ -14,7 +14,7 @@ import os
 import numpy as np
 from PIL import Image
 
-from ddpm_image_restoration_tpu.cli.common import add_model_flags, model_config_from
+from ddpm_image_restoration_tpu.cli.common import configure_jax_cache, add_model_flags, model_config_from
 
 
 def _load_image(path: str, size: int) -> np.ndarray:
@@ -39,7 +39,7 @@ def main(argv=None):
     ap.add_argument("--quality", type=int, default=30,
                     help="quality the inputs were compressed at")
     ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback"])
+    ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--random-init", action="store_true",
                     help="skip checkpoint loading (smoke tests)")
     ap.add_argument("--stride", type=int, default=1,
@@ -47,6 +47,7 @@ def main(argv=None):
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
                     help="quality-gated blend protecting near-lossless inputs")
     args = ap.parse_args(argv)
+    configure_jax_cache()
 
     from ddpm_image_restoration_tpu.config import TrainConfig, get_preset
     from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality

@@ -20,7 +20,7 @@ import time
 import numpy as np
 from PIL import Image
 
-from ddpm_image_restoration_tpu.cli.common import add_model_flags, model_config_from
+from ddpm_image_restoration_tpu.cli.common import configure_jax_cache, add_model_flags, model_config_from
 
 _EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
@@ -55,6 +55,7 @@ def main(argv=None):
     ap.add_argument("--once", action="store_true", help="drain the directory and exit")
     ap.add_argument("--random-init", action="store_true")
     args = ap.parse_args(argv)
+    configure_jax_cache()
 
     from ddpm_image_restoration_tpu.config import TrainConfig, get_preset
     from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import argparse
 
-from ddpm_image_restoration_tpu.cli.common import add_model_flags, train_config_from
+from ddpm_image_restoration_tpu.cli.common import configure_jax_cache, add_model_flags, train_config_from
 
 
 def main(argv=None):
@@ -17,7 +17,7 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data-dir", default="./ILSVRC2012_img_val")
     ap.add_argument("--checkpoint-dir", default="./checkpoints")
-    ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback"])
+    ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="train on N synthetic images instead of --data-dir")
     ap.add_argument("--no-resume", action="store_true")
@@ -25,6 +25,7 @@ def main(argv=None):
                     help="on crash, resume from the last checkpoint up to N times "
                     "(elastic-training guard; the reference always restarts from scratch)")
     args = ap.parse_args(argv)
+    configure_jax_cache()
 
     cfg = train_config_from(args)
     dataset = None

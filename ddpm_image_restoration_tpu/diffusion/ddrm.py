@@ -24,6 +24,13 @@ host round-trip per step. The codec consistency step is pluggable:
   * 'surrogate' — `codecs.surrogate.codec_surrogate` on device (default).
   * 'callback'  — one batched `jax.pure_callback` per step into the host
                   PIL codec pool (bit-exact codec, still a single scan).
+                  NOTE: the axon-tunneled PJRT platform raises UNIMPLEMENTED
+                  for host callbacks; use 'host_loop' there.
+  * 'host_loop' — bit-exact codec without callbacks: a jitted model+update
+                  step per iteration with the codec round-trip on the host
+                  between steps (exactly the reference's execution shape,
+                  webp_training.py:437-471). Works on every platform; pays
+                  one device<->host batch transfer per step.
 
 Sampler statistics (x_t, noise, consistency algebra) stay in float32 even when
 the model computes in bf16.
@@ -101,6 +108,37 @@ def make_consistency_fn(
     raise ValueError(f"unknown consistency mode {mode!r}")
 
 
+def _ddrm_update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset):
+    """Post-consistency update — the reference's step algebra
+    (webp_training.py:455-471) — shared by the lax.scan body and the
+    host-loop execution shape so the two cannot drift. All conditions are
+    traced (`i` is the reverse-step index as a scalar array)."""
+    x_prime = x_theta - c + y
+    noise = jax.random.normal(nkey, y.shape, jnp.float32)
+    noise_scale = (t * preset.sampler_noise_scale)[:, None, None, None]
+    x_next = eta_b * x_prime + (1.0 - eta_b) * x_theta + eta * noise * noise_scale
+    apply_phase = jnp.logical_and(
+        q_vec[0] < preset.phase_quality_threshold,
+        jnp.logical_and(i % preset.phase_period == 0, i > 0),
+    )
+    x_next = jax.lax.cond(
+        apply_phase,
+        lambda v: phase_consistency(v, y, preset.phase_alpha),
+        lambda v: v,
+        x_next,
+    )
+    return jnp.where(i > 0, x_next, x_prime)
+
+
+def _solver_indices(steps: int, stride: int) -> np.ndarray:
+    """Static descending step indices (webp_training.py:437); stride > 1 =
+    reduced-step accelerated solver, always ending at 0."""
+    host_idxs = np.arange(steps - 1, -1, -stride)
+    if host_idxs[-1] != 0:
+        host_idxs = np.append(host_idxs, 0)
+    return host_idxs
+
+
 class DDRMSampler:
     """Jit-compiled DDRM-codec restoration.
 
@@ -118,7 +156,9 @@ class DDRMSampler:
     ):
         self.model = model
         self.preset = preset
-        self.consistency = make_consistency_fn(preset.name, consistency_mode)
+        self.consistency_mode = consistency_mode
+        if consistency_mode != "host_loop":
+            self.consistency = make_consistency_fn(preset.name, consistency_mode)
         if prediction not in ("direct", "residual"):
             raise ValueError(prediction)
         self.prediction = prediction
@@ -135,14 +175,7 @@ class DDRMSampler:
             b = y.shape[0]
             y = y.astype(jnp.float32)
             q_vec = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (b,))
-            # static-shape per-step indices, descending (webp_training.py:437).
-            # stride > 1 = reduced-step accelerated solver: visit every
-            # stride-th timestep (always ending at 0); each visited step uses
-            # the reference's exact update rule at its own t = i/steps.
-            host_idxs = np.arange(steps - 1, -1, -stride)
-            if host_idxs[-1] != 0:
-                host_idxs = np.append(host_idxs, 0)
-            idxs = jnp.asarray(host_idxs)
+            idxs = jnp.asarray(_solver_indices(steps, stride))
 
             def step(carry, i):
                 x_t, key = carry
@@ -154,30 +187,58 @@ class DDRMSampler:
                     x_theta = x_t + x_theta
 
                 c = consistency(x_theta, q_vec)
-                x_prime = x_theta - c + y
-
-                # i > 0 branch
-                noise = jax.random.normal(nkey, x_t.shape, jnp.float32)
-                noise_scale = (t * preset.sampler_noise_scale)[:, None, None, None]
-                x_next = eta_b * x_prime + (1.0 - eta_b) * x_theta + eta * noise * noise_scale
-
-                # periodic phase-consistency stabilisation for low quality
-                apply_phase = jnp.logical_and(
-                    q_vec[0] < preset.phase_quality_threshold,
-                    jnp.logical_and(i % preset.phase_period == 0, i > 0),
+                x_t = _ddrm_update(
+                    x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset
                 )
-                x_next = jax.lax.cond(
-                    apply_phase,
-                    lambda v: phase_consistency(v, y, preset.phase_alpha),
-                    lambda v: v,
-                    x_next,
-                )
-
-                x_t = jnp.where(i > 0, x_next, x_prime)
                 return (x_t, key), None
 
             (x_final, _), _ = jax.lax.scan(step, (y, key), idxs)
             return x_final
+
+        return run
+
+    def _build_host_loop(self, steps: int, stride: int):
+        """Bit-exact-codec execution shape for platforms without host
+        callbacks: one jitted model call + one jitted update per step, the
+        PIL codec round-trip on the host in between (the reference's own
+        loop structure, webp_training.py:437-471). Key-split order matches
+        the scan exactly, so given the same PRNG key the 'callback' and
+        'host_loop' modes produce identical samples."""
+        from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
+
+        preset = self.preset
+        model = self.model
+        prediction = self.prediction
+
+        @jax.jit
+        def predict(params, x_t, t):
+            x_theta = model.apply(params, x_t, t, t).astype(jnp.float32)
+            if prediction == "residual":
+                x_theta = x_t + x_theta
+            return x_theta
+
+        @jax.jit
+        def update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b):
+            return _ddrm_update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset)
+
+        def run(params, y, quality, key, eta, eta_b):
+            b = y.shape[0]
+            y = jnp.asarray(y, jnp.float32)
+            q_vec = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (b,))
+            q_host = np.broadcast_to(np.asarray(quality), (b,))
+            x_t = y
+            for i in _solver_indices(steps, stride):
+                key, nkey = jax.random.split(key)
+                t = jnp.full((b,), i, jnp.float32) / steps
+                x_theta = predict(params, x_t, t)
+                c = jnp.asarray(
+                    compress_batch(np.asarray(x_theta), preset.name, q_host),
+                    jnp.float32,
+                )
+                x_t = update(
+                    x_theta, c, y, nkey, jnp.asarray(i), t, q_vec, eta, eta_b
+                )
+            return x_t
 
         return run
 
@@ -204,7 +265,10 @@ class DDRMSampler:
         """
         sig = (steps, stride)
         if sig not in self._compiled:
-            self._compiled[sig] = self._build(steps, stride)
+            if self.consistency_mode == "host_loop":
+                self._compiled[sig] = self._build_host_loop(steps, stride)
+            else:
+                self._compiled[sig] = self._build(steps, stride)
         if key is None:
             key = jax.random.PRNGKey(0)
         eta = self.preset.eta if eta is None else eta

@@ -1,7 +1,12 @@
-"""Roadmap check: does `consistency_mode='callback'` (jax.pure_callback into
-the host PIL codec pool from inside the sampler's lax.scan) work on the real
-TPU through the axon tunnel? Verified on CPU already; this is the hardware
-confirmation. Uses a tiny model so compile stays cheap.
+"""Roadmap check: which exact-codec consistency modes work on the real TPU
+through the axon tunnel?
+
+Result (2026-08-17, axon PJRT): 'callback' raises
+    UNIMPLEMENTED: axon_pjrt does not support host send/recv callbacks
+so `consistency_mode='host_loop'` (jitted per-step device compute with the
+PIL codec round-trip on the host between steps) is the exact-codec path on
+this platform; 'surrogate' stays the fast default. Standard (non-tunneled)
+TPU hosts support callbacks.
 
 Usage: python scripts/check_callback_tpu.py
 """
@@ -31,15 +36,22 @@ def main():
     rng = np.random.default_rng(0)
     y = jnp.asarray(np.clip(rng.normal(0, 0.3, x.shape), -1, 1).astype(np.float32))
 
-    for mode in ("surrogate", "callback"):
+    for mode in ("surrogate", "host_loop", "callback"):
         sampler = DDRMSampler(model, get_preset("webp"), consistency_mode=mode)
         t0 = time.perf_counter()
-        out = np.asarray(
-            sampler.sample(params, y, quality=30, steps=6, key=jax.random.PRNGKey(1))
-        )
+        try:
+            out = np.asarray(
+                sampler.sample(params, y, quality=30, steps=6, key=jax.random.PRNGKey(1))
+            )
+        except Exception as e:
+            print(f"{mode:10s}: FAILED ({type(e).__name__}: {str(e)[:120]})")
+            continue
         dt = time.perf_counter() - t0
-        ok = np.isfinite(out).all() and np.abs(out).max() <= 1.0 + 1e-5
-        print(f"{mode:10s}: finite={np.isfinite(out).all()} "
+        # With random-init weights the DDRM consistency step x' = x_hat-c+y
+        # legitimately leaves [-1,1] (the reference has no final clamp);
+        # the platform check is "runs and stays finite".
+        ok = bool(np.isfinite(out).all())
+        print(f"{mode:10s}: finite={ok} "
               f"range=[{out.min():.3f},{out.max():.3f}] {dt:.1f}s -> "
               f"{'OK' if ok else 'FAIL'}")
 

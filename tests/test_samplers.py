@@ -120,6 +120,26 @@ def test_ddrm_callback_mode(y32):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_ddrm_host_loop_matches_callback(y32):
+    """'host_loop' (per-step jit + host codec, for platforms whose PJRT
+    lacks host callbacks — the axon tunnel raises UNIMPLEMENTED) must
+    reproduce the 'callback' scan bit-for-bit: same codec, same update
+    algebra, same key-split order."""
+    model = build_model("jpeg", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    kw = dict(quality=8, steps=7, key=jax.random.PRNGKey(3))
+    ref = DDRMSampler(model, get_preset("jpeg"), consistency_mode="callback")
+    alt = DDRMSampler(model, get_preset("jpeg"), consistency_mode="host_loop")
+    out_cb = np.asarray(ref.sample(params, y32, **kw))
+    out_hl = np.asarray(alt.sample(params, y32, **kw))
+    np.testing.assert_allclose(out_hl, out_cb, atol=1e-5)
+    # strided accelerated solver takes the same path
+    out_cb5 = np.asarray(ref.sample(params, y32, stride=3, **kw))
+    out_hl5 = np.asarray(alt.sample(params, y32, stride=3, **kw))
+    np.testing.assert_allclose(out_hl5, out_cb5, atol=1e-5)
+    assert not np.allclose(out_cb5, out_cb)  # stride actually changes the path
+
+
 def test_ddrm_residual_mode(y32):
     model = build_model("webp", TINY)
     params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
