@@ -96,7 +96,7 @@ def _kernel(
     jax.jit, static_argnames=("real_d", "block_q", "block_k", "interpret")
 )
 def _flash_bhtd(
-    q, k, v, real_d: int, block_q: int = 256, block_k: int = 512, interpret: bool = False
+    q, k, v, real_d: int, block_q: int = 1024, block_k: int = 1024, interpret: bool = False
 ):
     """Core kernel over [BH, T, D] with D already lane-aligned; `real_d` is
     the unpadded head dim (softmax scale must not see the padding)."""
@@ -106,7 +106,10 @@ def _flash_bhtd(
         # single query block; key loop degenerates to one iteration
         block_q = block_k = t_pad = _round_up(t, 8)
     else:
-        t_pad = _round_up(t, max(block_q, block_k))  # 512 % 256 == 0 by default
+        t_pad = _round_up(t, max(block_q, block_k))
+        # 1024/1024 blocks measured 2x faster than 256/512 at the parity
+        # shapes (T=16384: 34.7 vs 69.2 ms, 64% of padded-FLOPs peak on
+        # v5e) -- scripts/bench_flash_kernel.py
     if t_pad != t:
         pad = ((0, 0), (0, t_pad - t), (0, 0))
         q = jnp.pad(q, pad)
