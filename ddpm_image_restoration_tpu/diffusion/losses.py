@@ -35,13 +35,20 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _depthwise_filter(x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
-    """Valid-padding depthwise 2-D filter over NHWC."""
+    """Valid-padding depthwise 2-D filter over NHWC.
+
+    precision=HIGHEST is load-bearing: TPU convs default to bf16 multiplies,
+    and SSIM's variance terms E[a^2]-mu^2 cancel catastrophically for
+    high-PSNR pairs — observed SSIM values of 1.3-1.5 (>1 is impossible) on
+    real-chip 128^2 evals until the window convolutions ran in true f32.
+    CPU runs mask the bug (CPU convs are f32 regardless)."""
     c = x.shape[-1]
     k = jnp.broadcast_to(kernel2d[:, :, None, None], (*kernel2d.shape, 1, c))
     return jax.lax.conv_general_dilated(
         x, k, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
