@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0, metavar="N")
     ap.add_argument("--synthetic-seed", type=int, default=99,
                     help="synthetic eval images use a held-out seed by default")
+    ap.add_argument("--synthetic-kind", default="waves",
+                    choices=["waves", "dead_leaves", "mixed"],
+                    help="synthetic generator (dead_leaves = natural-image-"
+                         "statistics proxy: occluding power-law disks)")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--prediction", default="direct", choices=["direct", "residual"])
     ap.add_argument("--stride", type=int, default=1,
@@ -69,7 +73,8 @@ def main(argv=None):
 
     if args.synthetic:
         ds = SyntheticImageDataset(args.synthetic, cfg.model.image_size,
-                                   seed=args.synthetic_seed)
+                                   seed=args.synthetic_seed,
+                                   kind=args.synthetic_kind)
         test_idx = np.arange(len(ds))
     else:
         ds = ImageFolderDataset(args.data_dir, cfg.model.image_size)

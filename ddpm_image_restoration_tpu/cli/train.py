@@ -20,6 +20,10 @@ def main(argv=None):
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="train on N synthetic images instead of --data-dir")
+    ap.add_argument("--synthetic-kind", default="waves",
+                    choices=["waves", "dead_leaves", "mixed"],
+                    help="synthetic generator (dead_leaves = natural-image-"
+                         "statistics proxy: occluding power-law disks)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
                     help="on crash, resume from the last checkpoint up to N times "
@@ -32,7 +36,9 @@ def main(argv=None):
     if args.synthetic:
         from ddpm_image_restoration_tpu.data import SyntheticImageDataset
 
-        dataset = SyntheticImageDataset(args.synthetic, cfg.model.image_size)
+        dataset = SyntheticImageDataset(
+            args.synthetic, cfg.model.image_size, kind=args.synthetic_kind
+        )
 
     from ddpm_image_restoration_tpu.train.loop import train_model
 

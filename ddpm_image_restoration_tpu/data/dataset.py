@@ -49,19 +49,34 @@ class ImageFolderDataset:
 
 
 class SyntheticImageDataset:
-    """Deterministic procedural images (sums of oriented sinusoids + a soft
-    disk), index-seeded — compressible structure without any files on disk."""
+    """Deterministic procedural images, index-seeded — compressible structure
+    without any files on disk. Three generators:
 
-    def __init__(self, n: int = 256, image_size: int = 64, seed: int = 0):
+      * ``waves`` — sums of oriented sinusoids + a soft disk (smooth,
+        band-limited; the original smoke-test distribution).
+      * ``dead_leaves`` — occluding disks with a power-law radius
+        distribution p(r) ∝ r^-3 plus per-leaf shading: the classical
+        natural-image-statistics model (scale-invariant power spectrum,
+        sharp occlusion edges) — much closer to photographs than sinusoids
+        for training codec-artifact restoration without a dataset on disk.
+      * ``mixed`` — alternates the two per index.
+    """
+
+    KINDS = ("waves", "dead_leaves", "mixed")
+
+    def __init__(self, n: int = 256, image_size: int = 64, seed: int = 0,
+                 kind: str = "waves"):
+        if kind not in self.KINDS:
+            raise ValueError(f"kind must be one of {self.KINDS}, got {kind!r}")
         self.n = n
         self.image_size = image_size
         self.seed = seed
+        self.kind = kind
 
     def __len__(self) -> int:
         return self.n
 
-    def __getitem__(self, idx: int) -> np.ndarray:
-        rng = np.random.default_rng(self.seed * 100003 + idx)
+    def _waves(self, rng: np.random.Generator) -> np.ndarray:
         s = self.image_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
         img = np.zeros((s, s, 3), np.float32)
@@ -74,6 +89,43 @@ class SyntheticImageDataset:
         cx, cy, r = rng.uniform(0.2, 0.8, 3)
         disk = np.clip(1.0 - ((xx - cx) ** 2 + (yy - cy) ** 2) / (0.1 * r + 1e-3), 0, 1)
         img += disk[..., None] * rng.uniform(-0.5, 0.5, 3)[None, None, :]
+        return img
+
+    def _dead_leaves(self, rng: np.random.Generator) -> np.ndarray:
+        s = self.image_size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        img = np.empty((s, s, 3), np.float32)
+        # background leaf (fills whatever stays uncovered)
+        img[...] = rng.uniform(-0.8, 0.8, 3)[None, None, :]
+        covered = np.zeros((s, s), bool)
+        r_min, r_max = 0.04 * s, 0.7 * s
+        # inverse-CDF sampling of p(r) ∝ r^-3 on [r_min, r_max]
+        inv2 = lambda u: 1.0 / np.sqrt(
+            (1 - u) / r_min**2 + u / r_max**2
+        )
+        for _ in range(300):
+            r = inv2(rng.uniform())
+            cx, cy = rng.uniform(-0.1 * s, 1.1 * s, 2)
+            leaf = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+            fresh = leaf & ~covered
+            if not fresh.any():
+                continue
+            base = rng.uniform(-0.9, 0.9, 3).astype(np.float32)
+            # per-leaf linear shading — gives gradients inside flat regions
+            gx, gy = rng.uniform(-0.3, 0.3, 2) / max(r, 1.0)
+            shade = (gx * (xx - cx) + gy * (yy - cy)).astype(np.float32)
+            img[fresh] = np.clip(base[None, :] + shade[fresh, None], -1, 1)
+            covered |= leaf
+            if covered.mean() > 0.995:
+                break
+        return img
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        kind = self.kind
+        if kind == "mixed":
+            kind = "dead_leaves" if idx % 2 else "waves"
+        img = self._dead_leaves(rng) if kind == "dead_leaves" else self._waves(rng)
         return np.clip(img, -1, 1).astype(np.float32)
 
 

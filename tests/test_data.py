@@ -103,3 +103,30 @@ def test_eval_batches():
     loader = DegradationLoader(ds, np.arange(10), get_preset("webp"), 4)
     sizes = [b.shape[0] for b in loader.eval_batches()]
     assert sizes == [4, 4, 2]
+
+
+def test_dead_leaves_generator():
+    ds = SyntheticImageDataset(6, 32, seed=3, kind="dead_leaves")
+    a, b = ds[0], ds[1]
+    assert a.shape == (32, 32, 3) and a.dtype == np.float32
+    assert np.abs(a).max() <= 1.0
+    assert np.abs(a - b).mean() > 1e-3  # distinct images
+    np.testing.assert_array_equal(a, ds[0])  # index-seeded determinism
+    # occlusion edges: dead leaves must carry far more high-frequency energy
+    # in its gradient distribution tails than the smooth waves generator
+    waves = SyntheticImageDataset(6, 32, seed=3, kind="waves")[0]
+    g = lambda im: np.abs(np.diff(im, axis=0)).max()
+    assert g(a) > g(waves)
+
+
+def test_mixed_generator_alternates():
+    ds = SyntheticImageDataset(4, 16, seed=0, kind="mixed")
+    w = SyntheticImageDataset(4, 16, seed=0, kind="waves")
+    d = SyntheticImageDataset(4, 16, seed=0, kind="dead_leaves")
+    np.testing.assert_array_equal(ds[0], w[0])
+    np.testing.assert_array_equal(ds[1], d[1])
+
+
+def test_synthetic_bad_kind():
+    with pytest.raises(ValueError):
+        SyntheticImageDataset(4, 16, kind="nope")
