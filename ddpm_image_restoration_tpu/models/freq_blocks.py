@@ -53,7 +53,6 @@ class DCTFreqAwareBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, compression_level=None) -> jnp.ndarray:
         c = self.channels
-        mid = c // 2
         x_dct = spatial_block_dct(x, self.block_size)
 
         mask = low_freq_mask(
@@ -62,28 +61,14 @@ class DCTFreqAwareBlock(nn.Module):
         low = x_dct * mask
         high = x_dct * (1.0 - mask)
 
-        # Fused low/high gates. The reference's four tiny 1x1 convs per block
-        # (low/high x in/out, webp_training.py:255-261) become two stacked
-        # batched matmuls over a pair axis — identical math, half the weight
-        # tensors: on-chip profiling showed the scan stalling on many small
-        # per-step gate-weight DMAs. Old-layout checkpoints are migrated on
-        # load (train/checkpoint.py migrate_state_dict).
-        def kinit(key, shape, dtype):
-            k1, k2 = jax.random.split(key)
-            init = nn.initializers.lecun_normal()
-            return jnp.stack([init(k1, shape[1:], dtype), init(k2, shape[1:], dtype)])
+        def gate(h, name):
+            h = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name=f"{name}_in")(h)
+            h = nn.leaky_relu(h, 0.2)
+            h = nn.Conv(c, (1, 1), dtype=self.dtype, name=f"{name}_out")(h)
+            return nn.sigmoid(h)
 
-        k_in = self.param("gates_in_kernel", kinit, (2, c, mid), jnp.float32)
-        b_in = self.param("gates_in_bias", nn.initializers.zeros, (2, mid), jnp.float32)
-        k_out = self.param("gates_out_kernel", kinit, (2, mid, c), jnp.float32)
-        b_out = self.param("gates_out_bias", nn.initializers.zeros, (2, c), jnp.float32)
-
-        pair = jnp.stack([low, high], axis=-2)  # [B,H,W,2,C]
-        g = jnp.einsum("bhwgc,gcm->bhwgm", pair, k_in.astype(self.dtype))
-        g = nn.leaky_relu(g + b_in.astype(self.dtype), 0.2)
-        g = jnp.einsum("bhwgm,gmc->bhwgc", g, k_out.astype(self.dtype))
-        g = nn.sigmoid(g + b_out.astype(self.dtype))
-        low_attn, high_attn = g[..., 0, :], g[..., 1, :]
+        low_attn = gate(low, "low_attn")
+        high_attn = gate(high, "high_attn")
 
         lvl = _level_col(compression_level, x)
         if lvl is not None:

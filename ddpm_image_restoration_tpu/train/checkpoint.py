@@ -13,76 +13,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
-
-_OLD_GATE_KEYS = {"low_attn_in", "low_attn_out", "high_attn_in", "high_attn_out"}
-_NEW_GATE_KEYS = {
-    "gates_in_kernel", "gates_in_bias", "gates_out_kernel", "gates_out_bias",
-}
-
-
-def _fuse_gate_dict(d: dict) -> dict:
-    """Fuse one old-layout freq-gate subtree (four {kernel,bias} convs) into
-    the stacked pair layout of models/freq_blocks.py DCTFreqAwareBlock."""
-
-    def arr(x):
-        return np.asarray(x)
-
-    def k2d(leaf):  # (1,1,cin,cout) conv kernel -> (cin,cout) matmul kernel
-        k = arr(leaf)
-        return k[0, 0] if k.ndim == 4 else k
-
-    new = {k: v for k, v in d.items() if k not in _OLD_GATE_KEYS}
-    li, hi = d["low_attn_in"], d["high_attn_in"]
-    lo, ho = d["low_attn_out"], d["high_attn_out"]
-    new["gates_in_kernel"] = np.stack([k2d(li["kernel"]), k2d(hi["kernel"])])
-    new["gates_in_bias"] = np.stack([arr(li["bias"]), arr(hi["bias"])])
-    new["gates_out_kernel"] = np.stack([k2d(lo["kernel"]), k2d(ho["kernel"])])
-    new["gates_out_bias"] = np.stack([arr(lo["bias"]), arr(ho["bias"])])
-    return new
-
-
-def _unfuse_gate_dict(d: dict) -> dict:
-    """Inverse of `_fuse_gate_dict` — used to build a restore *template* in
-    the layout the old checkpoint was saved with."""
-    new = {k: v for k, v in d.items() if k not in _NEW_GATE_KEYS}
-    ki, bi = np.asarray(d["gates_in_kernel"]), np.asarray(d["gates_in_bias"])
-    ko, bo = np.asarray(d["gates_out_kernel"]), np.asarray(d["gates_out_bias"])
-    for idx, name in ((0, "low"), (1, "high")):
-        new[f"{name}_attn_in"] = {"kernel": ki[idx][None, None], "bias": bi[idx]}
-        new[f"{name}_attn_out"] = {"kernel": ko[idx][None, None], "bias": bo[idx]}
-    return new
-
-
-def _map_gate_subtrees(tree: Any, keys, fn) -> Any:
-    """Apply `fn` to every dict subtree containing all of `keys`, anywhere in
-    an arbitrary pytree (params and the optimizer's mu/nu mirror the same
-    structure). Other subtrees/leaves pass through; custom pytree node types
-    (TrainState, optax states) are preserved by tree_map."""
-
-    def is_gate(x):
-        return isinstance(x, dict) and keys.issubset(x.keys())
-
-    return jax.tree_util.tree_map(
-        lambda x: fn(x) if is_gate(x) else x, tree, is_leaf=is_gate
-    )
-
-
-def migrate_state_dict(tree: Any) -> Any:
-    """Upgrade a pytree holding the pre-fusion gate layout to the fused one.
-
-    Works on any nesting; subtrees already in the fused layout pass through
-    unchanged.
-    """
-    return _map_gate_subtrees(tree, _OLD_GATE_KEYS, _fuse_gate_dict)
-
-
-def downgrade_state_dict(tree: Any) -> Any:
-    """Rewrite a fused-layout pytree into the pre-fusion layout (the restore
-    template for old checkpoints)."""
-    return _map_gate_subtrees(tree, _NEW_GATE_KEYS, _unfuse_gate_dict)
 
 
 class CheckpointManager:
@@ -120,33 +51,15 @@ class CheckpointManager:
         return self._mgr.best_step()
 
     def restore(self, step: int, target) -> Tuple[Any, Dict]:
-        """Restore TrainState (using `target` as the structure template).
-
-        Checkpoints written before the freq-gate fusion restore through
-        `migrate_state_dict` transparently.
-        """
-        try:
-            out = self._mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(target),
-                    metadata=ocp.args.JsonRestore(),
-                ),
-            )
-            return out["state"], out["metadata"]
-        except Exception:
-            # old gate layout: restore against an old-layout template built
-            # from the live target (structure then matches the checkpoint
-            # exactly), and fuse the result.
-            old_template = downgrade_state_dict(target)
-            out = self._mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(old_template),
-                    metadata=ocp.args.JsonRestore(),
-                ),
-            )
-            return migrate_state_dict(out["state"]), out["metadata"]
+        """Restore TrainState (using `target` as the structure template)."""
+        out = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(target),
+                metadata=ocp.args.JsonRestore(),
+            ),
+        )
+        return out["state"], out["metadata"]
 
     def restore_latest(self, target) -> Optional[Tuple[Any, Dict]]:
         step = self.latest_step()

@@ -64,7 +64,7 @@ def test_param_structure_webp(small_images):
     # WebP blocks use the fixed-DCT freq module (no learnable transform)
     down1 = params["params"]["down1"]["freq_guide"]
     assert "adaptive_transform" not in down1
-    assert "gates_in_kernel" in down1  # fused low/high gate pair
+    assert "low_attn_in" in down1
 
 
 def test_param_structure_avif(small_images):
