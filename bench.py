@@ -47,7 +47,7 @@ def build(size: int, attn_impl: str, widths_scale: int = 1, attn_max_res: int = 
 
 
 def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: int = 30,
-                  stride: int = 1, attn_max_res: int = 1024):
+                  stride: int = 1, attn_max_res: int = 1024, encoder_reuse: int = 1):
     from ddpm_image_restoration_tpu.config import get_preset
     from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
 
@@ -72,7 +72,8 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
     # compile + warmup
     for k in (100, 101):
         sync(sampler.sample(params, y, quality=quality, steps=steps,
-                            key=jax.random.PRNGKey(k), stride=stride))
+                            key=jax.random.PRNGKey(k), stride=stride,
+                            encoder_reuse=encoder_reuse))
 
     # Throughput is measured PIPELINED: enqueue all restore calls (JAX
     # dispatch is async) and sync once at the end, as a production server
@@ -84,7 +85,7 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
     outs = [
         sampler.sample(
             params, y, quality=quality, steps=steps, key=jax.random.PRNGKey(i),
-            stride=stride,
+            stride=stride, encoder_reuse=encoder_reuse,
         )
         for i in range(n_iters)
     ]
@@ -106,6 +107,9 @@ def main():
                     help="reduced-step accelerated solver (stride 5 validated: "
                          "keeps >90%% of restoration gains, results/README.md); "
                          "1 = reference step-for-step")
+    ap.add_argument("--encoder-reuse", type=int, default=1,
+                    help="run the UNet encoder only every k-th model "
+                         "evaluation (encoder-propagation acceleration)")
     ap.add_argument("--attn-max-res", type=int, default=32,
                     help="apply self-attention at levels <= this spatial size "
                          "(32 = standard diffusion-UNet practice at 128^2; "
@@ -122,13 +126,16 @@ def main():
             imgs_per_sec, dt = bench_restore(
                 args.size, b, args.steps, args.attn, args.quality,
                 stride=args.stride, attn_max_res=args.attn_max_res,
+                encoder_reuse=args.encoder_reuse,
             )
             print(
                 json.dumps(
                     {
                         "metric": f"images/sec/chip at {args.size}^2 full DDPM restore "
                         f"({args.steps} steps, stride {args.stride}, q={args.quality}, "
-                        f"batch {b}, {args.attn} attn)",
+                        f"batch {b}, {args.attn} attn"
+                        + (f", enc-reuse {args.encoder_reuse}" if args.encoder_reuse > 1 else "")
+                        + ")",
                         "value": round(imgs_per_sec, 4),
                         "unit": "images/sec/chip",
                         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 4),

@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--prediction", default="direct", choices=["direct", "residual"])
     ap.add_argument("--stride", type=int, default=1,
                     help=">1 = reduced-step accelerated solver")
+    ap.add_argument("--encoder-reuse", type=int, default=1,
+                    help="run the UNet encoder only every k-th model "
+                         "evaluation, decoding from cached features between "
+                         "(encoder-propagation acceleration)")
     ap.add_argument("--qualities", type=int, nargs="*", default=None,
                     help="override the preset's eval quality list")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
@@ -84,6 +88,7 @@ def main(argv=None):
     evaluate_restoration(cfg, model, state.params, images,
                          batch_size=args.batch_size, prediction=args.prediction,
                          stride=args.stride,
+                         encoder_reuse=args.encoder_reuse,
                          protect=tuple(args.protect) if args.protect else None)
 
 

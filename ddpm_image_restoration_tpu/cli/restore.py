@@ -44,6 +44,10 @@ def main(argv=None):
                     help="skip checkpoint loading (smoke tests)")
     ap.add_argument("--stride", type=int, default=1,
                     help=">1 = reduced-step accelerated solver")
+    ap.add_argument("--encoder-reuse", type=int, default=1,
+                    help="run the UNet encoder only every k-th model "
+                         "evaluation, decoding from cached features between "
+                         "(encoder-propagation acceleration)")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
                     help="quality-gated blend protecting near-lossless inputs")
     args = ap.parse_args(argv)
@@ -75,6 +79,7 @@ def main(argv=None):
     out = np.asarray(
         sampler.sample({"params": state.params}, jnp.asarray(imgs), args.quality, init_t,
                        stride=args.stride,
+                       encoder_reuse=args.encoder_reuse,
                        protect=tuple(args.protect) if args.protect else None)
     )
 

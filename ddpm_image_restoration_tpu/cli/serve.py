@@ -50,6 +50,10 @@ def main(argv=None):
     ap.add_argument("--quality", type=int, default=30)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--encoder-reuse", type=int, default=1,
+                    help="run the UNet encoder only every k-th model "
+                         "evaluation, decoding from cached features between "
+                         "(encoder-propagation acceleration)")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--poll-seconds", type=float, default=1.0)
     ap.add_argument("--once", action="store_true", help="drain the directory and exit")
@@ -110,7 +114,8 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         out = np.asarray(
             sampler.sample(params, jnp.asarray(imgs), args.quality, init_t,
-                           key=sub, stride=args.stride)
+                           key=sub, stride=args.stride,
+                           encoder_reuse=args.encoder_reuse)
         )[:n]
         for f, img in zip(batch_files, out):
             _save(os.path.join(args.output_dir, os.path.splitext(f)[0] + "_restored.png"), img)

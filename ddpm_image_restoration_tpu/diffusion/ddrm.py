@@ -164,7 +164,7 @@ class DDRMSampler:
         self.prediction = prediction
         self._compiled = {}
 
-    def _build(self, steps: int, stride: int = 1):
+    def _build(self, steps: int, stride: int = 1, encoder_reuse: int = 1):
         preset = self.preset
         model = self.model
         consistency = self.consistency
@@ -176,6 +176,56 @@ class DDRMSampler:
             y = y.astype(jnp.float32)
             q_vec = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (b,))
             idxs = jnp.asarray(_solver_indices(steps, stride))
+
+            if encoder_reuse > 1:
+                # Encoder-propagation acceleration (arXiv:2312.09608): run
+                # the UNet encoder+bottleneck only every `encoder_reuse`-th
+                # solver step and decode from cached features in between.
+                # The branch is a lax.cond on the static-period step
+                # position, so the scan stays one fused XLA program.
+                def encode(x_t, t):
+                    return model.apply(
+                        params, x_t, t, t, method="encode"
+                    )
+
+                def decode(feats, t):
+                    return model.apply(
+                        params, feats, t, t, method="decode"
+                    )
+
+                t0 = jnp.zeros((b,), jnp.float32)
+                feat_shapes = jax.eval_shape(encode, y, t0)
+                feats0 = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), feat_shapes
+                )
+
+                def step(carry, scan_in):
+                    i, p = scan_in
+                    x_t, feats, key = carry
+                    key, nkey = jax.random.split(key)
+                    t = jnp.full((b,), i, jnp.float32) / steps
+
+                    feats = jax.lax.cond(
+                        p % encoder_reuse == 0,
+                        lambda ops: encode(ops[0], ops[1]),
+                        lambda ops: ops[2],
+                        (x_t, t, feats),
+                    )
+                    x_theta = decode(feats, t).astype(jnp.float32)
+                    if prediction == "residual":
+                        x_theta = x_t + x_theta
+
+                    c = consistency(x_theta, q_vec)
+                    x_t = _ddrm_update(
+                        x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset
+                    )
+                    return (x_t, feats, key), None
+
+                positions = jnp.arange(idxs.shape[0])
+                (x_final, _, _), _ = jax.lax.scan(
+                    step, (y, feats0, key), (idxs, positions)
+                )
+                return x_final
 
             def step(carry, i):
                 x_t, key = carry
@@ -197,7 +247,7 @@ class DDRMSampler:
 
         return run
 
-    def _build_host_loop(self, steps: int, stride: int):
+    def _build_host_loop(self, steps: int, stride: int, encoder_reuse: int = 1):
         """Bit-exact-codec execution shape for platforms without host
         callbacks: one jitted model call + one jitted update per step, the
         PIL codec round-trip on the host in between (the reference's own
@@ -221,16 +271,35 @@ class DDRMSampler:
         def update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b):
             return _ddrm_update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset)
 
+        @jax.jit
+        def encode(params, x_t, t):
+            return model.apply(params, x_t, t, t, method="encode")
+
+        @jax.jit
+        def decode(params, feats, x_t, t):
+            x_theta = model.apply(params, feats, t, t, method="decode").astype(
+                jnp.float32
+            )
+            if prediction == "residual":
+                x_theta = x_t + x_theta
+            return x_theta
+
         def run(params, y, quality, key, eta, eta_b):
             b = y.shape[0]
             y = jnp.asarray(y, jnp.float32)
             q_vec = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (b,))
             q_host = np.broadcast_to(np.asarray(quality), (b,))
             x_t = y
-            for i in _solver_indices(steps, stride):
+            feats = None
+            for p_, i in enumerate(_solver_indices(steps, stride)):
                 key, nkey = jax.random.split(key)
                 t = jnp.full((b,), i, jnp.float32) / steps
-                x_theta = predict(params, x_t, t)
+                if encoder_reuse > 1:
+                    if p_ % encoder_reuse == 0:
+                        feats = encode(params, x_t, t)
+                    x_theta = decode(params, feats, x_t, t)
+                else:
+                    x_theta = predict(params, x_t, t)
                 c = jnp.asarray(
                     compress_batch(np.asarray(x_theta), preset.name, q_host),
                     jnp.float32,
@@ -253,6 +322,7 @@ class DDRMSampler:
         eta_b: Optional[float] = None,
         stride: int = 1,
         protect: Optional[tuple] = None,
+        encoder_reuse: int = 1,
     ) -> jnp.ndarray:
         """Restore compressed observation y (NHWC, [-1,1]) at codec `quality`.
 
@@ -262,13 +332,18 @@ class DDRMSampler:
         accelerated solver (steps/stride model evaluations). `protect`
         = (lo, hi) enables the non-reference quality-gated blend that keeps
         near-lossless inputs untouched (see `quality_gated_blend`).
+        `encoder_reuse` = k > 1 runs the UNet encoder only every k-th model
+        evaluation and decodes from cached features in between
+        (encoder-propagation, arXiv:2312.09608).
         """
-        sig = (steps, stride)
+        if encoder_reuse < 1:
+            raise ValueError("encoder_reuse must be >= 1")
+        sig = (steps, stride, encoder_reuse)
         if sig not in self._compiled:
             if self.consistency_mode == "host_loop":
-                self._compiled[sig] = self._build_host_loop(steps, stride)
+                self._compiled[sig] = self._build_host_loop(steps, stride, encoder_reuse)
             else:
-                self._compiled[sig] = self._build(steps, stride)
+                self._compiled[sig] = self._build(steps, stride, encoder_reuse)
         if key is None:
             key = jax.random.PRNGKey(0)
         eta = self.preset.eta if eta is None else eta

@@ -63,6 +63,7 @@ def evaluate_restoration(
     prediction: str = "direct",
     stride: int = 1,
     protect=None,
+    encoder_reuse: int = 1,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -94,7 +95,8 @@ def evaluate_restoration(
             key, sub = jax.random.split(key)
             restored = np.asarray(
                 sampler.sample(wrapped, jnp.asarray(y), quality, init_t, key=sub,
-                               stride=stride, protect=protect)
+                               stride=stride, protect=protect,
+                               encoder_reuse=encoder_reuse)
             )
             n_restored += len(x0)
 

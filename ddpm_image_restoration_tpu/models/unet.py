@@ -134,12 +134,93 @@ class ResAttnBlock(nn.Module):
 
 
 class CodecDiffusionModel(nn.Module):
-    """UNet predicting the restoration residual x0 - xt in [-1,1]."""
+    """UNet predicting the restoration residual x0 - xt in [-1,1].
+
+    The forward pass is split into `encode` (encoder + bottleneck) and
+    `decode` (decoder + DCT fusion + head) so the solver can cache encoder
+    features across diffusion steps (encoder-propagation acceleration,
+    arXiv:2312.09608 / block caching arXiv:2312.03209): `__call__` is
+    exactly `decode(encode(x))`, and both methods are usable standalone via
+    `model.apply(..., method="encode"/"decode")` with the SAME param tree as
+    the original single-pass implementation.
+    """
 
     preset: CodecPreset
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        cfg, preset = self.cfg, self.preset
+        self.time_embed = TimeEmbedding(cfg.time_dim)
+        for i, w_ in enumerate(cfg.enc_widths):
+            setattr(self, f"down{i + 1}", ResAttnBlock(w_, preset, cfg))
+        for i, w_ in enumerate(cfg.bottleneck_widths):
+            setattr(self, f"bottleneck{i + 1}", ResAttnBlock(w_, preset, cfg))
+        # decoder widths mirror the encoder (up1..up5 -> 512,256,128,64,64)
+        self._dec_widths = list(cfg.enc_widths[-2::-1]) + [cfg.enc_widths[0]]
+        for i, w_ in enumerate(self._dec_widths):
+            setattr(self, f"up{i + 1}", ResAttnBlock(w_, preset, cfg))
+        self.out_norm = nn.GroupNorm(
+            num_groups=adjusted_group_count(cfg.enc_widths[0]), dtype=jnp.float32
+        )
+        self.out_conv = nn.Conv(cfg.in_channels, (3, 3), dtype=jnp.float32)
+
+    def _prep(self, t, compression_level):
+        t = jnp.asarray(t, jnp.float32)
+        if t.ndim == 0:
+            t = t[None]
+        t_emb = self.time_embed(t)
+        if compression_level is None:
+            compression_level = t  # webp_training.py:373-374
+        return t_emb, compression_level
+
+    def encode(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        compression_level: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """Encoder + bottleneck -> (skips tuple, bottleneck features)."""
+        cfg = self.cfg
+        t_emb, level = self._prep(t, compression_level)
+        h = x.astype(jnp.dtype(cfg.compute_dtype))
+        skips = []
+        for i in range(len(cfg.enc_widths)):
+            h = getattr(self, f"down{i + 1}")(
+                h if i == 0 else max_pool_2x(h), t_emb, level, deterministic
+            )
+            skips.append(h)
+        h = max_pool_2x(h)
+        for i in range(len(cfg.bottleneck_widths)):
+            h = getattr(self, f"bottleneck{i + 1}")(h, t_emb, level, deterministic)
+        return tuple(skips), h
+
+    def decode(
+        self,
+        features,
+        t: jnp.ndarray,
+        compression_level: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Decoder + DCT-feature fusion + head over cached `encode` output."""
+        preset = self.preset
+        t_emb, level = self._prep(t, compression_level)
+        skips, h = features
+        for i in range(len(self._dec_widths)):
+            skip = skips[-(i + 1)]
+            h = jnp.concatenate([upsample_2x_bilinear(h), skip], axis=-1)
+            h = getattr(self, f"up{i + 1}")(h, t_emb, level, deterministic)
+
+        # DCT-feature fusion (webp_training.py:396-397; 0.15 for AVIF avif.py:448-449)
+        dct_feature = spatial_block_dct(h, preset.dct_block_size)
+        h = h + preset.dct_fusion_scale * dct_feature
+
+        # output head (fp32)
+        h = self.out_norm(h)
+        h = nn.silu(h)
+        h = self.out_conv(h)
+        return jnp.tanh(h)
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -147,50 +228,11 @@ class CodecDiffusionModel(nn.Module):
         compression_level: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        cfg, preset = self.cfg, self.preset
-        dtype = jnp.dtype(cfg.compute_dtype)
         t = jnp.asarray(t, jnp.float32)
         if t.ndim == 0:
             t = jnp.broadcast_to(t, (x.shape[0],))
-        t_emb = TimeEmbedding(cfg.time_dim, name="time_embed")(t)
-        if compression_level is None:
-            compression_level = t  # webp_training.py:373-374
-
-        x = x.astype(dtype)
-
-        def block(h, out_c, name):
-            return ResAttnBlock(out_c, preset, cfg, name=name)(
-                h, t_emb, compression_level, deterministic
-            )
-
-        # encoder
-        skips = []
-        h = x
-        for i, w_ in enumerate(cfg.enc_widths):
-            h = block(h if i == 0 else max_pool_2x(h), w_, f"down{i + 1}")
-            skips.append(h)
-
-        # bottleneck
-        h = max_pool_2x(h)
-        for i, w_ in enumerate(cfg.bottleneck_widths):
-            h = block(h, w_, f"bottleneck{i + 1}")
-
-        # decoder: widths mirror the encoder (up1..up5 -> 512,256,128,64,64)
-        dec_widths = list(cfg.enc_widths[-2::-1]) + [cfg.enc_widths[0]]
-        for i, w_ in enumerate(dec_widths):
-            skip = skips[-(i + 1)]
-            h = jnp.concatenate([upsample_2x_bilinear(h), skip], axis=-1)
-            h = block(h, w_, f"up{i + 1}")
-
-        # DCT-feature fusion (webp_training.py:396-397; 0.15 for AVIF avif.py:448-449)
-        dct_feature = spatial_block_dct(h, preset.dct_block_size)
-        h = h + preset.dct_fusion_scale * dct_feature
-
-        # output head (fp32)
-        h = _group_norm(h.shape[-1], "out_norm")(h)
-        h = nn.silu(h)
-        h = nn.Conv(cfg.in_channels, (3, 3), dtype=jnp.float32, name="out_conv")(h)
-        return jnp.tanh(h)
+        features = self.encode(x, t, compression_level, deterministic)
+        return self.decode(features, t, compression_level, deterministic)
 
 
 def build_model(codec: str, cfg: Optional[ModelConfig] = None) -> CodecDiffusionModel:

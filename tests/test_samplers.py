@@ -74,7 +74,7 @@ def test_ddrm_strided_solver(y32):
     sampler._compiled.clear()
     out = sampler.sample(None, y32, quality=50, steps=20, eta=0.0, stride=7)
     np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
-    assert (20, 7) in sampler._compiled
+    assert (20, 7, 1) in sampler._compiled  # (steps, stride, encoder_reuse)
 
 
 def test_quality_gated_protect(y32):
@@ -170,3 +170,48 @@ def test_gaussian_mixture_sampler(y32):
     out = gms.sample(params, y32, steps=4, key=jax.random.PRNGKey(0))
     assert out.shape == y32.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddrm_encoder_reuse(y32):
+    """encoder_reuse=k caches encoder features across solver steps
+    (encoder-propagation): runs, stays finite, differs from the full path,
+    and k=1 is exactly the base path; a reuse period covering every step but
+    the first equals freezing the encoder at step 0."""
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    kw = dict(quality=10, steps=6, key=jax.random.PRNGKey(1))
+    base = np.asarray(sampler.sample(params, y32, **kw))
+    same = np.asarray(sampler.sample(params, y32, encoder_reuse=1, **kw))
+    np.testing.assert_array_equal(same, base)
+    r2 = np.asarray(sampler.sample(params, y32, encoder_reuse=2, **kw))
+    assert r2.shape == y32.shape and np.all(np.isfinite(r2))
+    assert not np.allclose(r2, base)  # approximation changes the trajectory
+    with pytest.raises(ValueError):
+        sampler.sample(params, y32, encoder_reuse=0, **kw)
+
+
+def test_ddrm_encoder_reuse_host_loop_matches_callback(y32):
+    """The host-loop execution shape must reproduce the scan exactly under
+    encoder reuse as well (same codec, same key-split order, same caching
+    positions)."""
+    model = build_model("jpeg", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    kw = dict(quality=8, steps=6, key=jax.random.PRNGKey(3), encoder_reuse=3)
+    ref = DDRMSampler(model, get_preset("jpeg"), consistency_mode="callback")
+    alt = DDRMSampler(model, get_preset("jpeg"), consistency_mode="host_loop")
+    out_cb = np.asarray(ref.sample(params, y32, **kw))
+    out_hl = np.asarray(alt.sample(params, y32, **kw))
+    np.testing.assert_allclose(out_hl, out_cb, atol=1e-5)
+
+
+def test_unet_encode_decode_split(y32):
+    """decode(encode(x)) must equal the single-pass forward bit-for-bit —
+    the split exists so the solver can cache encoder features."""
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    t = jnp.array([0.3, 0.8])
+    full = model.apply(params, y32, t, t)
+    feats = model.apply(params, y32, t, t, method="encode")
+    split = model.apply(params, feats, t, t, method="decode")
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(full))
