@@ -3,9 +3,11 @@
 Measures the production restore path end-to-end on the current accelerator:
 flagship (reference-width) WebP UNet at 128^2, DDRM lax.scan at
 init_t(q=30)=70 with the stride-5 accelerated solver (BASELINE.json config 4;
-quality validated in results/README.md), attention at levels <=32^2 (standard
-diffusion-UNet placement at this resolution), on-device codec-surrogate
-consistency step, bf16 compute. `--stride 1 --attn-max-res 1024` measures the
+quality validated in results/README.md), encoder-propagation (encode every
+2nd model evaluation, quality validated in results/r1_webp_attn32/),
+attention at levels <=32^2 (standard diffusion-UNet placement at this
+resolution), on-device codec-surrogate consistency step, bf16 compute.
+`--stride 1 --attn-max-res 1024 --encoder-reuse 1` measures the
 reference-parity step-for-step configuration instead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
@@ -107,9 +109,11 @@ def main():
                     help="reduced-step accelerated solver (stride 5 validated: "
                          "keeps >90%% of restoration gains, results/README.md); "
                          "1 = reference step-for-step")
-    ap.add_argument("--encoder-reuse", type=int, default=1,
+    ap.add_argument("--encoder-reuse", type=int, default=2,
                     help="run the UNet encoder only every k-th model "
-                         "evaluation (encoder-propagation acceleration)")
+                         "evaluation (encoder-propagation acceleration; 2 is "
+                         "quality-validated: >=93%% of restoration gains at "
+                         "q<=30, results/r1_webp_attn32/; 1 = off)")
     ap.add_argument("--attn-max-res", type=int, default=32,
                     help="apply self-attention at levels <= this spatial size "
                          "(32 = standard diffusion-UNet practice at 128^2; "
