@@ -20,13 +20,26 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # Retention must serve BOTH consumers: restore_best (top val-PSNR)
+        # and restore_latest (resume). A plain best_fn+max_to_keep retention
+        # deletes the newest checkpoint whenever early epochs scored best,
+        # silently breaking resume (observed: a 60-epoch run retained only
+        # epochs 1-3; the follow-up run restarted from scratch). Keep the
+        # best `max_to_keep` by metric AND the most recent two.
+        from orbax.checkpoint import checkpoint_managers as _cm
+
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
                 best_fn=lambda m: m.get("val_psnr", -float("inf")),
                 best_mode="max",
-                keep_checkpoints_without_metrics=True,
+                preservation_policy=_cm.AnyPreservationPolicy([
+                    _cm.BestN(
+                        get_metric_fn=lambda m: m.get("val_psnr", -float("inf")),
+                        n=max_to_keep,
+                    ),
+                    _cm.LatestN(n=2),
+                ]),
                 enable_async_checkpointing=True,
             ),
         )

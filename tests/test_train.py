@@ -123,3 +123,30 @@ def test_resume_continues(tmp_path):
     # second call resumes from epoch 1 and trains only the remaining epoch
     state, history = train_model(cfg, dataset=ds, epochs=2, val_batch=2, verbose=False)
     assert int(state.step) == 2 * 4
+
+
+def test_checkpoint_retention_keeps_latest_and_best(tmp_path):
+    """Retention must serve both restore_best and restore_latest: with a
+    plain best-k policy, a run whose early epochs scored best deletes the
+    newest checkpoint and the next run silently restarts from scratch
+    (observed on a real 60-epoch training run)."""
+    import numpy as np
+
+    from ddpm_image_restoration_tpu.train.checkpoint import CheckpointManager
+
+    d = str(tmp_path / "ckpt")
+    m = CheckpointManager(d)
+    history = [(0, 19.0), (1, 19.95), (2, 19.93), (3, 19.94), (10, 19.5), (59, 19.91)]
+    for step, psnr in history:
+        m.save(step, {"w": np.arange(4.0) + step}, {"epoch": step, "val_psnr": psnr})
+    m.wait()
+    m.close()
+
+    m2 = CheckpointManager(d)  # fresh instance = new process
+    assert m2.latest_step() == 59
+    assert m2.best_step() == 1
+    state, meta = m2.restore_latest({"w": np.zeros(4)})
+    assert meta["epoch"] == 59 and state["w"][0] == 59.0
+    _, meta = m2.restore_best({"w": np.zeros(4)})
+    assert meta["epoch"] == 1
+    m2.close()
