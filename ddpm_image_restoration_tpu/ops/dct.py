@@ -20,6 +20,7 @@ All ops take NHWC (TPU conv layout); the reference is NCHW.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +29,28 @@ import numpy as np
 from ddpm_image_restoration_tpu.codecs.surrogate import dct_matrix, kron_dct_matrix
 
 
+@functools.lru_cache(maxsize=None)
+def _block_diag_dct_np(n: int, block_size: int) -> np.ndarray:
+    """kron(I_{n/bs}, D_bs) [n, n]: the blockwise 1-D DCT of a length-n axis
+    as ONE dense matrix. ~ (n/bs)x redundant FLOPs over the per-block form,
+    but they ride the MXU at its native 128-wide contraction with ZERO
+    layout changes — the tile reshape/transpose form spends more time in
+    layout copies than the matmul itself (measured: the space-to-depth
+    copies were ~17% of restore busy time at 128²)."""
+    d = dct_matrix(block_size).astype(np.float64)
+    return np.kron(np.eye(n // block_size), d).astype(np.float32)
+
+
 def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
     """Blockwise 2-D DCT of NHWC `x`, returned in the reference's spatial
     layout: each bxb tile of the output holds that tile's DCT coefficients
     (matches DCTLayer.forward webp_training.py:161-192, minus its pad path —
     UNet feature maps here are always block-size multiples).
+
+    Formulation is selectable via DDPM_IR_DCT_IMPL = blockdiag (default) |
+    kron: `blockdiag` contracts the full H then W axes against
+    kron(I, D) block-diagonal matrices (layout-preserving, MXU-native);
+    `kron` is the tile-reshape [N, bs²] x [bs², bs²] Kronecker GEMM.
     """
     b, h, w, c = x.shape
     bs = block_size
@@ -41,6 +59,14 @@ def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
         hp, wp = (-h) % bs, (-w) % bs
         x_p = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
         return spatial_block_dct(x_p, bs)[:, :h, :w, :]
+    impl = os.environ.get("DDPM_IR_DCT_IMPL", "blockdiag")
+    if impl == "blockdiag":
+        d_h = jnp.asarray(_block_diag_dct_np(h, bs), dtype=x.dtype)
+        d_w = jnp.asarray(_block_diag_dct_np(w, bs), dtype=x.dtype)
+        return jnp.einsum(
+            "Hh,bhwc,Ww->bHWc", d_h, x, d_w,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     # one [N, bs²] x [bs², bs²] Kronecker GEMM instead of two bs x bs
     # contractions (MXU-friendly; this runs in every UNet block)
     k = jnp.asarray(kron_dct_matrix(bs), dtype=x.dtype)

@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/ddpm_ir_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 TRACE_DIR = "/tmp/ddpm_ir_trace"
 
 
@@ -45,13 +48,15 @@ def run_traced(args):
 
     t0 = time.perf_counter()
     np.asarray(sampler.sample(params, y, quality=30, steps=args.steps,
-                              key=jax.random.PRNGKey(0), stride=args.stride))
+                              key=jax.random.PRNGKey(0), stride=args.stride,
+                              encoder_reuse=args.encoder_reuse))
     print(f"compile+warmup: {time.perf_counter() - t0:.1f}s", flush=True)
 
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
     with jax.profiler.trace(TRACE_DIR):
         out = sampler.sample(params, y, quality=30, steps=args.steps,
-                             key=jax.random.PRNGKey(1), stride=args.stride)
+                             key=jax.random.PRNGKey(1), stride=args.stride,
+                             encoder_reuse=args.encoder_reuse)
         np.asarray(out)
     print("trace captured", flush=True)
 
@@ -95,18 +100,39 @@ def parse_trace():
             for plane in xspace.planes:
                 print(" plane:", plane.name, "lines:", [l.name for l in plane.lines])
         return
-    print(f"\ntotal device time: {device_total:.2f} ms")
-    # group by op prefix (fusion names carry the originating op)
-    grouped = defaultdict(float)
+
+    def opkey(name: str) -> str:
+        # "%convert_reduce_fusion.122 = bf16[...] ..." -> "convert_reduce_fusion"
+        head = name.lstrip("%").split(" ")[0]
+        return head.rsplit(".", 1)[0] if "." in head else head
+
+    # Three buckets: `while`/conditional wrappers are INCLUSIVE of their body
+    # (counting them double-counts every op inside the solver scan); async
+    # copy/slice-start durations are WAIT-inclusive on this platform (they
+    # span until the consumer is ready, not actual DMA time). Only the rest
+    # is trustworthy per-op busy time.
+    busy, waits, wrappers = defaultdict(float), defaultdict(float), defaultdict(float)
     for name, ms in totals.items():
-        key = name.split(".")[0].split("_")[0]
-        grouped[key] += ms
-    print("\n-- by op family --")
-    for name, ms in sorted(grouped.items(), key=lambda kv: -kv[1])[:20]:
-        print(f"{ms:10.2f} ms  {100 * ms / device_total:5.1f}%  {name}")
-    print("\n-- top individual ops --")
-    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{ms:10.2f} ms  {100 * ms / device_total:5.1f}%  {name[:110]}")
+        k = opkey(name)
+        if k in ("while", "conditional"):
+            wrappers[k] += ms
+        elif k.endswith(("copy-start", "slice-start", "copy-done", "slice-done")) or k.startswith(("copy-start", "slice-start", "copy-done", "slice-done")):
+            waits[k] += ms
+        else:
+            busy[k] += ms
+    busy_total = sum(busy.values())
+    print(f"\ncontrol-flow wrappers (inclusive of body): "
+          f"{sum(wrappers.values()):.2f} ms {dict(wrappers)}")
+    print(f"async copy/slice (wait-inclusive, unreliable): {sum(waits.values()):.2f} ms")
+    print(f"busy op time: {busy_total:.2f} ms")
+    print("\n-- busy time by op family --")
+    for name, ms in sorted(busy.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{ms:10.2f} ms  {100 * ms / busy_total:5.1f}%  {name}")
+    print("\n-- top individual busy ops --")
+    singles = {n: ms for n, ms in totals.items()
+               if opkey(n) in busy}
+    for name, ms in sorted(singles.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{ms:10.2f} ms  {100 * ms / busy_total:5.1f}%  {name[:110]}")
 
 
 def main():
@@ -117,6 +143,7 @@ def main():
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--attn", default="flash", choices=["xla", "flash"])
     ap.add_argument("--attn-max-res", type=int, default=1024)
+    ap.add_argument("--encoder-reuse", type=int, default=1)
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:

@@ -99,3 +99,15 @@ def test_adaptive_avg_pool(rng):
     )
     up = adaptive_avg_pool(x, 16)  # upsample case falls back to resize
     assert up.shape == (1, 16, 16, 2)
+
+
+def test_spatial_dct_impls_agree(rng, monkeypatch):
+    """The layout-preserving block-diagonal formulation (default) and the
+    tile-reshape Kronecker GEMM must compute the same transform."""
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 3)).astype(np.float32))
+    for bs in (4, 8):
+        monkeypatch.setenv("DDPM_IR_DCT_IMPL", "blockdiag")
+        a = np.asarray(spatial_block_dct(x, bs))
+        monkeypatch.setenv("DDPM_IR_DCT_IMPL", "kron")
+        b = np.asarray(spatial_block_dct(x, bs))
+        np.testing.assert_allclose(a, b, atol=1e-5)
