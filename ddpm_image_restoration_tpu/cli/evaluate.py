@@ -38,6 +38,11 @@ def main(argv=None):
                     help="run the UNet encoder only every k-th model "
                          "evaluation, decoding from cached features between "
                          "(encoder-propagation acceleration)")
+    ap.add_argument("--decoder-reuse-depth", type=int, default=0,
+                    help="with --encoder-reuse > 1: also cache the deep "
+                         "decoder stages across each reuse group, "
+                         "recomputing only the last N high-resolution "
+                         "stages + head (DeepCache-style)")
     ap.add_argument("--qualities", type=int, nargs="*", default=None,
                     help="override the preset's eval quality list")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
@@ -89,6 +94,7 @@ def main(argv=None):
                          batch_size=args.batch_size, prediction=args.prediction,
                          stride=args.stride,
                          encoder_reuse=args.encoder_reuse,
+                         decoder_reuse_depth=args.decoder_reuse_depth,
                          protect=tuple(args.protect) if args.protect else None)
 
 

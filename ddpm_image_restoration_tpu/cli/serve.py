@@ -54,6 +54,11 @@ def main(argv=None):
                     help="run the UNet encoder only every k-th model "
                          "evaluation, decoding from cached features between "
                          "(encoder-propagation acceleration)")
+    ap.add_argument("--decoder-reuse-depth", type=int, default=0,
+                    help="with --encoder-reuse > 1: also cache the deep "
+                         "decoder stages across each reuse group, "
+                         "recomputing only the last N high-resolution "
+                         "stages + head (DeepCache-style)")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--poll-seconds", type=float, default=1.0)
     ap.add_argument("--once", action="store_true", help="drain the directory and exit")
@@ -115,7 +120,8 @@ def main(argv=None):
         out = np.asarray(
             sampler.sample(params, jnp.asarray(imgs), args.quality, init_t,
                            key=sub, stride=args.stride,
-                           encoder_reuse=args.encoder_reuse)
+                           encoder_reuse=args.encoder_reuse,
+                           decoder_reuse_depth=args.decoder_reuse_depth)
         )[:n]
         for f, img in zip(batch_files, out):
             _save(os.path.join(args.output_dir, os.path.splitext(f)[0] + "_restored.png"), img)

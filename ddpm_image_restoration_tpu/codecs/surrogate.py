@@ -46,13 +46,27 @@ _RGB2YCC = np.array(
 _YCC2RGB = np.linalg.inv(_RGB2YCC).astype(np.float32)
 
 
+def _color_matmul(x: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+    """3-channel color transform as scalar multiply-adds on unstacked
+    channels. An einsum over a 3-wide channel axis lowers to a dot_general
+    that wants the (3-element!) channel axis in the 128-lane minor dim —
+    the TPU profiler showed full-tensor layout copies around those dots;
+    this form stays elementwise at the tensor's native layout."""
+    c0, c1, c2 = x[..., 0], x[..., 1], x[..., 2]
+    return jnp.stack(
+        [float(m[d, 0]) * c0 + float(m[d, 1]) * c1 + float(m[d, 2]) * c2
+         for d in range(3)],
+        axis=-1,
+    )
+
+
 def rgb_to_ycbcr(x: jnp.ndarray) -> jnp.ndarray:
     """[...,3] RGB in [0,1] -> YCbCr with Y in [0,1], Cb/Cr centered at 0."""
-    return jnp.einsum("...c,dc->...d", x, jnp.asarray(_RGB2YCC))
+    return _color_matmul(x, _RGB2YCC)
 
 
 def ycbcr_to_rgb(y: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("...c,dc->...d", y, jnp.asarray(_YCC2RGB))
+    return _color_matmul(y, _YCC2RGB)
 
 
 # ---------------------------------------------------------------------------

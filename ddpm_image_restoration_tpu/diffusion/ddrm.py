@@ -164,7 +164,13 @@ class DDRMSampler:
         self.prediction = prediction
         self._compiled = {}
 
-    def _build(self, steps: int, stride: int = 1, encoder_reuse: int = 1):
+    def _build(
+        self,
+        steps: int,
+        stride: int = 1,
+        encoder_reuse: int = 1,
+        decoder_reuse_depth: int = 0,
+    ):
         preset = self.preset
         model = self.model
         consistency = self.consistency
@@ -187,15 +193,37 @@ class DDRMSampler:
                 # position measured 10x slower on TPU (features forced into
                 # the scan carry and copied through the conditional), while
                 # this shape keeps features local to the group body.
+                # decoder_reuse_depth > 0 additionally caches the deep
+                # decoder stages across the group (DeepCache-style,
+                # arXiv:2312.00858): only the last `depth` high-resolution
+                # stages + head are recomputed on reuse steps.
+                ddepth = decoder_reuse_depth
+
                 def encode(x_t, t):
                     return model.apply(params, x_t, t, t, method="encode")
 
-                def decode(feats, t):
-                    return model.apply(params, feats, t, t, method="decode")
+                def group_features(feats, t0):
+                    """What the group caches: encode output, plus the deep
+                    decoder feature when decoder reuse is on."""
+                    if ddepth:
+                        deep = model.apply(
+                            params, feats, t0, t0, method="decode_deep", depth=ddepth
+                        )
+                        return (feats[0], deep)
+                    return feats
 
-                def model_step(x_t, feats, i, nkey):
+                def decode(cached, t):
+                    if ddepth:
+                        skips, deep = cached
+                        return model.apply(
+                            params, deep, skips, t, t,
+                            method="decode_shallow", depth=ddepth,
+                        )
+                    return model.apply(params, cached, t, t, method="decode")
+
+                def model_step(x_t, cached, i, nkey):
                     t = jnp.full((b,), i, jnp.float32) / steps
-                    x_theta = decode(feats, t).astype(jnp.float32)
+                    x_theta = decode(cached, t).astype(jnp.float32)
                     if prediction == "residual":
                         x_theta = x_t + x_theta
                     c = consistency(x_theta, q_vec)
@@ -213,10 +241,10 @@ class DDRMSampler:
                 def group(carry, i_vec):
                     x_t, key = carry
                     t0 = jnp.full((b,), i_vec[0], jnp.float32) / steps
-                    feats = encode(x_t, t0)
+                    cached = group_features(encode(x_t, t0), t0)
                     for j in range(encoder_reuse):  # static unroll
                         key, nkey = jax.random.split(key)
-                        x_t = model_step(x_t, feats, i_vec[j], nkey)
+                        x_t = model_step(x_t, cached, i_vec[j], nkey)
                     return (x_t, key), None
 
                 x_t = y
@@ -226,10 +254,10 @@ class DDRMSampler:
                     )
                 if len(tail):  # leftover steps: one more encode, then reuse
                     t0 = jnp.full((b,), int(tail[0]), jnp.float32) / steps
-                    feats = encode(x_t, t0)
+                    cached = group_features(encode(x_t, t0), t0)
                     for i in tail:
                         key, nkey = jax.random.split(key)
-                        x_t = model_step(x_t, feats, jnp.asarray(int(i)), nkey)
+                        x_t = model_step(x_t, cached, jnp.asarray(int(i)), nkey)
                 return x_t
 
             def step(carry, i):
@@ -252,7 +280,13 @@ class DDRMSampler:
 
         return run
 
-    def _build_host_loop(self, steps: int, stride: int, encoder_reuse: int = 1):
+    def _build_host_loop(
+        self,
+        steps: int,
+        stride: int,
+        encoder_reuse: int = 1,
+        decoder_reuse_depth: int = 0,
+    ):
         """Bit-exact-codec execution shape for platforms without host
         callbacks: one jitted model call + one jitted update per step, the
         PIL codec round-trip on the host in between (the reference's own
@@ -276,15 +310,29 @@ class DDRMSampler:
         def update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b):
             return _ddrm_update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset)
 
-        @jax.jit
-        def encode(params, x_t, t):
-            return model.apply(params, x_t, t, t, method="encode")
+        ddepth = decoder_reuse_depth
 
         @jax.jit
-        def decode(params, feats, x_t, t):
-            x_theta = model.apply(params, feats, t, t, method="decode").astype(
-                jnp.float32
-            )
+        def encode(params, x_t, t):
+            feats = model.apply(params, x_t, t, t, method="encode")
+            if ddepth:
+                deep = model.apply(
+                    params, feats, t, t, method="decode_deep", depth=ddepth
+                )
+                return (feats[0], deep)
+            return feats
+
+        @jax.jit
+        def decode(params, cached, x_t, t):
+            if ddepth:
+                skips, deep = cached
+                x_theta = model.apply(
+                    params, deep, skips, t, t, method="decode_shallow", depth=ddepth
+                ).astype(jnp.float32)
+            else:
+                x_theta = model.apply(params, cached, t, t, method="decode").astype(
+                    jnp.float32
+                )
             if prediction == "residual":
                 x_theta = x_t + x_theta
             return x_theta
@@ -328,6 +376,7 @@ class DDRMSampler:
         stride: int = 1,
         protect: Optional[tuple] = None,
         encoder_reuse: int = 1,
+        decoder_reuse_depth: int = 0,
     ) -> jnp.ndarray:
         """Restore compressed observation y (NHWC, [-1,1]) at codec `quality`.
 
@@ -339,16 +388,31 @@ class DDRMSampler:
         near-lossless inputs untouched (see `quality_gated_blend`).
         `encoder_reuse` = k > 1 runs the UNet encoder only every k-th model
         evaluation and decodes from cached features in between
-        (encoder-propagation, arXiv:2312.09608).
+        (encoder-propagation, arXiv:2312.09608). `decoder_reuse_depth` = d > 0
+        additionally caches the deep decoder stages across each reuse group
+        (DeepCache-style, arXiv:2312.00858): reuse steps recompute only the
+        last d high-resolution decoder stages + head. Requires
+        encoder_reuse > 1 (with per-step encoding there is nothing to cache).
         """
         if encoder_reuse < 1:
             raise ValueError("encoder_reuse must be >= 1")
-        sig = (steps, stride, encoder_reuse)
+        if decoder_reuse_depth < 0:
+            raise ValueError("decoder_reuse_depth must be >= 0")
+        if decoder_reuse_depth and encoder_reuse == 1:
+            raise ValueError(
+                "decoder_reuse_depth requires encoder_reuse > 1 (the deep "
+                "decoder is cached per encoder-reuse group)"
+            )
+        sig = (steps, stride, encoder_reuse, decoder_reuse_depth)
         if sig not in self._compiled:
             if self.consistency_mode == "host_loop":
-                self._compiled[sig] = self._build_host_loop(steps, stride, encoder_reuse)
+                self._compiled[sig] = self._build_host_loop(
+                    steps, stride, encoder_reuse, decoder_reuse_depth
+                )
             else:
-                self._compiled[sig] = self._build(steps, stride, encoder_reuse)
+                self._compiled[sig] = self._build(
+                    steps, stride, encoder_reuse, decoder_reuse_depth
+                )
         if key is None:
             key = jax.random.PRNGKey(0)
         eta = self.preset.eta if eta is None else eta

@@ -64,6 +64,7 @@ def evaluate_restoration(
     stride: int = 1,
     protect=None,
     encoder_reuse: int = 1,
+    decoder_reuse_depth: int = 0,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -96,7 +97,8 @@ def evaluate_restoration(
             restored = np.asarray(
                 sampler.sample(wrapped, jnp.asarray(y), quality, init_t, key=sub,
                                stride=stride, protect=protect,
-                               encoder_reuse=encoder_reuse)
+                               encoder_reuse=encoder_reuse,
+                               decoder_reuse_depth=decoder_reuse_depth)
             )
             n_restored += len(x0)
 

@@ -195,18 +195,47 @@ class CodecDiffusionModel(nn.Module):
             h = getattr(self, f"bottleneck{i + 1}")(h, t_emb, level, deterministic)
         return tuple(skips), h
 
-    def decode(
+    def decode_deep(
         self,
         features,
         t: jnp.ndarray,
         compression_level: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        depth: int = 1,
     ) -> jnp.ndarray:
-        """Decoder + DCT-feature fusion + head over cached `encode` output."""
-        preset = self.preset
+        """Decoder stages up1..up{n-depth} over cached `encode` output.
+
+        Returns the deep decoder feature just before the last `depth` stages.
+        The solver caches this across reuse steps (DeepCache-style decoder
+        caching, arXiv:2312.00858, composed with encoder propagation): the
+        deep, low-resolution decoder stages change little between adjacent
+        diffusion steps, while the shallow high-resolution stages carry the
+        step-to-step detail — so only those are recomputed per step via
+        `decode_shallow`.
+        """
         t_emb, level = self._prep(t, compression_level)
         skips, h = features
-        for i in range(len(self._dec_widths)):
+        for i in range(len(self._dec_widths) - depth):
+            skip = skips[-(i + 1)]
+            h = jnp.concatenate([upsample_2x_bilinear(h), skip], axis=-1)
+            h = getattr(self, f"up{i + 1}")(h, t_emb, level, deterministic)
+        return h
+
+    def decode_shallow(
+        self,
+        h: jnp.ndarray,
+        skips,
+        t: jnp.ndarray,
+        compression_level: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        depth: int = 1,
+    ) -> jnp.ndarray:
+        """The last `depth` decoder stages + DCT fusion + head, resuming from
+        a (possibly cached) `decode_deep` output."""
+        preset = self.preset
+        t_emb, level = self._prep(t, compression_level)
+        n = len(self._dec_widths)
+        for i in range(n - depth, n):
             skip = skips[-(i + 1)]
             h = jnp.concatenate([upsample_2x_bilinear(h), skip], axis=-1)
             h = getattr(self, f"up{i + 1}")(h, t_emb, level, deterministic)
@@ -220,6 +249,23 @@ class CodecDiffusionModel(nn.Module):
         h = nn.silu(h)
         h = self.out_conv(h)
         return jnp.tanh(h)
+
+    def decode(
+        self,
+        features,
+        t: jnp.ndarray,
+        compression_level: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Decoder + DCT-feature fusion + head over cached `encode` output.
+
+        Exactly `decode_shallow(decode_deep(...))` — the split point is a
+        no-op on the math, it only exists so the solver can cache the deep
+        stages."""
+        h = self.decode_deep(features, t, compression_level, deterministic, depth=0)
+        return self.decode_shallow(
+            h, features[0], t, compression_level, deterministic, depth=0
+        )
 
     def __call__(
         self,

@@ -60,6 +60,35 @@ def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
         x_p = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
         return spatial_block_dct(x_p, bs)[:, :h, :w, :]
     impl = os.environ.get("DDPM_IR_DCT_IMPL", "blockdiag")
+    if impl == "shifts":
+        # Pure-elementwise formulation: within a block, each output row is a
+        # fixed bs-term linear combination of input rows — strided slices +
+        # scalar multiply-adds + interleave, all at the tensor's native NHWC
+        # layout. The dot_general forms contract over a SPATIAL axis, which
+        # on TPU forces h/w into the 128-lane minor dim: the profiler showed
+        # the surrounding layout copies costing more than the matmul
+        # (copies were 15% of restore busy time at 128²). f32 accumulation
+        # (free on the VPU) keeps bf16 activations at dot_general precision.
+        d = dct_matrix(bs).astype(np.float64)
+
+        def axis_dct(t: jnp.ndarray, axis: int) -> jnp.ndarray:
+            slices = [
+                jax.lax.slice_in_dim(t, j, None, stride=bs, axis=axis).astype(
+                    jnp.float32
+                )
+                for j in range(bs)
+            ]
+            outs = [
+                functools.reduce(
+                    jnp.add, (float(d[i, j]) * slices[j] for j in range(bs))
+                )
+                for i in range(bs)
+            ]
+            stacked = jnp.stack(outs, axis=axis + 1)  # [..., n/bs, bs, ...]
+            return stacked.reshape(t.shape)
+
+        out = axis_dct(axis_dct(x, 1), 2)
+        return out.astype(x.dtype)
     if impl == "blockdiag":
         d_h = jnp.asarray(_block_diag_dct_np(h, bs), dtype=x.dtype)
         d_w = jnp.asarray(_block_diag_dct_np(w, bs), dtype=x.dtype)

@@ -9,6 +9,8 @@ matches align_corners=False (half-pixel centers).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -21,7 +23,38 @@ def max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _upsample_2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x linear upsample (half-pixel centers) along one axis via
+    fixed-weight shift/adds: out[2i] = 0.25*in[i-1] + 0.75*in[i],
+    out[2i+1] = 0.75*in[i] + 0.25*in[i+1], edges clamped."""
+    n = x.shape[axis]
+    first = lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = lax.slice_in_dim(x, n - 1, n, axis=axis)
+    prev = jnp.concatenate([first, lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis)
+    nxt = jnp.concatenate([lax.slice_in_dim(x, 1, n, axis=axis), last], axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis + 1)  # [..., n, 2, ...]
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return stacked.reshape(shape)
+
+
 def upsample_2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsample, align_corners=False semantics (matches
+    F.interpolate(scale_factor=2, mode='bilinear') / jax.image.resize
+    'linear' to float tolerance).
+
+    Formulation selectable via DDPM_IR_RESIZE_IMPL = resize (default) |
+    shifts. `shifts` computes the fixed 2x weights (0.25, 0.75) as separable
+    shift/adds at the tensor's native layout; `resize` is
+    jax.image.resize's interpolation-matrix dot-generals. Isolated
+    microbenchmarks (scripts/bench_micro_ops.py) favour `resize` on TPU
+    (0.53 vs 1.01 ms at [16,64,64,64]->2x bf16); the switch exists because
+    in-context layout interactions can reverse such rankings.
+    """
+    if os.environ.get("DDPM_IR_RESIZE_IMPL", "resize") == "shifts":
+        return _upsample_2x_axis(_upsample_2x_axis(x, 1), 2)
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")
 

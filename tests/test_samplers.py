@@ -74,7 +74,8 @@ def test_ddrm_strided_solver(y32):
     sampler._compiled.clear()
     out = sampler.sample(None, y32, quality=50, steps=20, eta=0.0, stride=7)
     np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
-    assert (20, 7, 1) in sampler._compiled  # (steps, stride, encoder_reuse)
+    # (steps, stride, encoder_reuse, decoder_reuse_depth)
+    assert (20, 7, 1, 0) in sampler._compiled
 
 
 def test_quality_gated_protect(y32):
@@ -203,6 +204,61 @@ def test_ddrm_encoder_reuse_host_loop_matches_callback(y32):
     out_cb = np.asarray(ref.sample(params, y32, **kw))
     out_hl = np.asarray(alt.sample(params, y32, **kw))
     np.testing.assert_allclose(out_hl, out_cb, atol=1e-5)
+
+
+def test_ddrm_decoder_reuse_depth(y32):
+    """decoder_reuse_depth=d caches the deep decoder stages across each
+    encoder-reuse group (DeepCache-style): runs, stays finite, differs from
+    the encoder-reuse-only trajectory, and is invalid without encoder reuse."""
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    kw = dict(quality=10, steps=6, key=jax.random.PRNGKey(1), encoder_reuse=2)
+    base = np.asarray(sampler.sample(params, y32, **kw))
+    d1 = np.asarray(sampler.sample(params, y32, decoder_reuse_depth=1, **kw))
+    assert d1.shape == y32.shape and np.all(np.isfinite(d1))
+    assert not np.allclose(d1, base)  # approximation changes the trajectory
+    with pytest.raises(ValueError):
+        sampler.sample(
+            params, y32, quality=10, steps=6, encoder_reuse=1, decoder_reuse_depth=1
+        )
+    with pytest.raises(ValueError):
+        sampler.sample(
+            params, y32, quality=10, steps=6, encoder_reuse=2, decoder_reuse_depth=-1
+        )
+
+
+def test_ddrm_decoder_reuse_host_loop_matches_callback(y32):
+    """host_loop must reproduce the scan under decoder reuse too (same
+    caching positions, same key-split order)."""
+    model = build_model("jpeg", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    kw = dict(
+        quality=8, steps=6, key=jax.random.PRNGKey(3),
+        encoder_reuse=3, decoder_reuse_depth=1,
+    )
+    ref = DDRMSampler(model, get_preset("jpeg"), consistency_mode="callback")
+    alt = DDRMSampler(model, get_preset("jpeg"), consistency_mode="host_loop")
+    out_cb = np.asarray(ref.sample(params, y32, **kw))
+    out_hl = np.asarray(alt.sample(params, y32, **kw))
+    np.testing.assert_allclose(out_hl, out_cb, atol=1e-5)
+
+
+def test_unet_decode_deep_shallow_split(y32):
+    """decode_shallow(decode_deep(...)) at any depth must equal the full
+    decode bit-for-bit when both run at the same t — the split is a pure
+    refactoring of the stage loop."""
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    t = jnp.array([0.3, 0.8])
+    feats = model.apply(params, y32, t, t, method="encode")
+    full = model.apply(params, feats, t, t, method="decode")
+    for depth in (0, 1, 2):
+        deep = model.apply(params, feats, t, t, method="decode_deep", depth=depth)
+        out = model.apply(
+            params, deep, feats[0], t, t, method="decode_shallow", depth=depth
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
 
 
 def test_unet_encode_decode_split(y32):
