@@ -49,7 +49,8 @@ def build(size: int, attn_impl: str, widths_scale: int = 1, attn_max_res: int = 
 
 
 def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: int = 30,
-                  stride: int = 1, attn_max_res: int = 1024, encoder_reuse: int = 1):
+                  stride: int = 1, attn_max_res: int = 1024, encoder_reuse: int = 1,
+                  decoder_reuse_depth: int = 0):
     from ddpm_image_restoration_tpu.config import get_preset
     from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
 
@@ -75,7 +76,8 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
     for k in (100, 101):
         sync(sampler.sample(params, y, quality=quality, steps=steps,
                             key=jax.random.PRNGKey(k), stride=stride,
-                            encoder_reuse=encoder_reuse))
+                            encoder_reuse=encoder_reuse,
+                            decoder_reuse_depth=decoder_reuse_depth))
 
     # Throughput is measured PIPELINED: enqueue all restore calls (JAX
     # dispatch is async) and sync once at the end, as a production server
@@ -88,6 +90,7 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
         sampler.sample(
             params, y, quality=quality, steps=steps, key=jax.random.PRNGKey(i),
             stride=stride, encoder_reuse=encoder_reuse,
+            decoder_reuse_depth=decoder_reuse_depth,
         )
         for i in range(n_iters)
     ]
@@ -114,6 +117,11 @@ def main():
                          "evaluation (encoder-propagation acceleration; 2 is "
                          "quality-validated: >=93%% of restoration gains at "
                          "q<=30, results/r1_webp_attn32/; 1 = off)")
+    ap.add_argument("--decoder-reuse-depth", type=int, default=0,
+                    help="with encoder-reuse > 1: also cache the deep decoder "
+                         "stages across each reuse group, recomputing only "
+                         "the last N high-resolution stages + head "
+                         "(DeepCache-style)")
     ap.add_argument("--attn-max-res", type=int, default=32,
                     help="apply self-attention at levels <= this spatial size "
                          "(32 = standard diffusion-UNet practice at 128^2; "
@@ -131,6 +139,7 @@ def main():
                 args.size, b, args.steps, args.attn, args.quality,
                 stride=args.stride, attn_max_res=args.attn_max_res,
                 encoder_reuse=args.encoder_reuse,
+                decoder_reuse_depth=args.decoder_reuse_depth,
             )
             print(
                 json.dumps(
@@ -139,6 +148,8 @@ def main():
                         f"({args.steps} steps, stride {args.stride}, q={args.quality}, "
                         f"batch {b}, {args.attn} attn"
                         + (f", enc-reuse {args.encoder_reuse}" if args.encoder_reuse > 1 else "")
+                        + (f", dec-reuse {args.decoder_reuse_depth}"
+                           if args.decoder_reuse_depth else "")
                         + ")",
                         "value": round(imgs_per_sec, 4),
                         "unit": "images/sec/chip",

@@ -47,10 +47,18 @@ def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
     (matches DCTLayer.forward webp_training.py:161-192, minus its pad path —
     UNet feature maps here are always block-size multiples).
 
-    Formulation is selectable via DDPM_IR_DCT_IMPL = blockdiag (default) |
-    kron: `blockdiag` contracts the full H then W axes against
-    kron(I, D) block-diagonal matrices (layout-preserving, MXU-native);
-    `kron` is the tile-reshape [N, bs²] x [bs², bs²] Kronecker GEMM.
+    Formulation is selectable via DDPM_IR_DCT_IMPL = kron (default) |
+    blockdiag | shifts: `kron` is the tile-reshape [N, bs²] x [bs², bs²]
+    Kronecker GEMM; `blockdiag` contracts the full H then W axes against
+    kron(I, D) block-diagonal matrices; `shifts` is pure elementwise
+    strided slices + scalar multiply-adds.
+
+    The default is measured END-TO-END, not on micro-benchmarks: blockdiag
+    won the isolated micro-op comparison 2.6x but collapsed the full
+    128² restore bench 16x (12.1 vs 201.9 img/s on v5e) — in context its
+    [H,H]/[W,W] spatial contractions force layout changes on every
+    surrounding op, which the micro-benchmark's steady-state loop never
+    paid. Only full-pipeline numbers pick defaults here.
     """
     b, h, w, c = x.shape
     bs = block_size
@@ -59,7 +67,7 @@ def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
         hp, wp = (-h) % bs, (-w) % bs
         x_p = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
         return spatial_block_dct(x_p, bs)[:, :h, :w, :]
-    impl = os.environ.get("DDPM_IR_DCT_IMPL", "blockdiag")
+    impl = os.environ.get("DDPM_IR_DCT_IMPL", "kron")
     if impl == "shifts":
         # Pure-elementwise formulation: within a block, each output row is a
         # fixed bs-term linear combination of input rows — strided slices +
