@@ -53,12 +53,14 @@ def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
     kron(I, D) block-diagonal matrices; `shifts` is pure elementwise
     strided slices + scalar multiply-adds.
 
-    The default is measured END-TO-END, not on micro-benchmarks: blockdiag
-    won the isolated micro-op comparison 2.6x but collapsed the full
-    128² restore bench 16x (12.1 vs 201.9 img/s on v5e) — in context its
-    [H,H]/[W,W] spatial contractions force layout changes on every
-    surrounding op, which the micro-benchmark's steady-state loop never
-    paid. Only full-pipeline numbers pick defaults here.
+    The default is measured END-TO-END, not on micro-benchmarks (full 128²
+    restore bench, v5e): kron 201.9 img/s, shifts 149.4, blockdiag 12.1.
+    blockdiag won the isolated micro-op comparison 2.6x but collapsed in
+    context — its [H,H]/[W,W] spatial contractions force layout changes on
+    every surrounding op, which the micro-benchmark's steady-state loop never
+    paid; shifts avoids matmuls entirely but its stack+reshape interleave
+    materialises more intermediates than kron's tile copies. Only
+    full-pipeline numbers pick defaults here.
     """
     b, h, w, c = x.shape
     bs = block_size

@@ -102,12 +102,14 @@ def test_adaptive_avg_pool(rng):
 
 
 def test_spatial_dct_impls_agree(rng, monkeypatch):
-    """The layout-preserving block-diagonal formulation (default) and the
-    tile-reshape Kronecker GEMM must compute the same transform."""
+    """All three formulations — tile-reshape Kronecker GEMM (default),
+    block-diagonal kron(I,D) contraction, and the elementwise strided-slice
+    form — must compute the same transform."""
     x = jnp.asarray(rng.normal(size=(2, 16, 24, 3)).astype(np.float32))
     for bs in (4, 8):
-        monkeypatch.setenv("DDPM_IR_DCT_IMPL", "blockdiag")
-        a = np.asarray(spatial_block_dct(x, bs))
         monkeypatch.setenv("DDPM_IR_DCT_IMPL", "kron")
-        b = np.asarray(spatial_block_dct(x, bs))
-        np.testing.assert_allclose(a, b, atol=1e-5)
+        ref = np.asarray(spatial_block_dct(x, bs))
+        for impl in ("blockdiag", "shifts"):
+            monkeypatch.setenv("DDPM_IR_DCT_IMPL", impl)
+            got = np.asarray(spatial_block_dct(x, bs))
+            np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=impl)
