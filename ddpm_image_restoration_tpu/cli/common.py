@@ -14,21 +14,31 @@ import os
 from ddpm_image_restoration_tpu.config import ModelConfig, TrainConfig, EvalConfig
 
 
-def configure_jax_cache():
-    """Enable the persistent XLA compilation cache for every CLI entry point.
+def configure_jax_cache(platform: str | None = None):
+    """Per-process JAX setup for every CLI entry point, BEFORE backend init.
 
-    Compiles on tunneled TPU platforms take minutes and are re-paid on every
-    process start without this; cached reruns warm up in seconds. Off by
-    setting DDPM_IR_JAX_CACHE=0."""
+    - Persistent XLA compilation cache: compiles on tunneled TPU platforms
+      take minutes and are re-paid on every process start without this;
+      cached reruns warm up in seconds. Off by setting DDPM_IR_JAX_CACHE=0.
+    - Platform pin (`--platform` flag or DDPM_IR_PLATFORM env): some PJRT
+      plugins re-select themselves regardless of JAX_PLATFORMS, so forcing
+      e.g. CPU (accelerator down, or a host-side quick check) must go
+      through jax.config before any backend initialises."""
+    import jax
+
+    platform = platform or os.environ.get("DDPM_IR_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     cache = os.environ.get("DDPM_IR_JAX_CACHE", "/tmp/ddpm_ir_jax_cache")
     if cache and cache != "0":
-        import jax
-
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def add_model_flags(ap: argparse.ArgumentParser):
+    ap.add_argument("--platform", default=None,
+                    help="pin the JAX platform (e.g. cpu, tpu) before "
+                         "backend init; also via DDPM_IR_PLATFORM env")
     ap.add_argument("--codec", default="webp", choices=["webp", "jpeg", "avif"])
     ap.add_argument("--image-size", type=int, default=64)
     ap.add_argument("--width-scale", type=int, default=1,

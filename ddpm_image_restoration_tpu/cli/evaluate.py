@@ -50,7 +50,7 @@ def main(argv=None):
                     "untouched input at q>=HI (non-reference guard for "
                     "near-lossless inputs)")
     args = ap.parse_args(argv)
-    configure_jax_cache()
+    configure_jax_cache(getattr(args, "platform", None))
 
     from ddpm_image_restoration_tpu.config import TrainConfig
     from ddpm_image_restoration_tpu.data import (

@@ -17,8 +17,10 @@ from PIL import Image
 from ddpm_image_restoration_tpu.cli.common import configure_jax_cache, add_model_flags, model_config_from
 
 
-def _load_image(path: str, size: int) -> np.ndarray:
-    img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
+def _load_image(path: str, size: int | None) -> np.ndarray:
+    img = Image.open(path).convert("RGB")
+    if size is not None:
+        img = img.resize((size, size), Image.BILINEAR)
     return (np.asarray(img, np.float32) / 255.0) * 2.0 - 1.0
 
 
@@ -55,8 +57,17 @@ def main(argv=None):
                          "stages + head (DeepCache-style)")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
                     help="quality-gated blend protecting near-lossless inputs")
+    ap.add_argument("--size-mode", default="resize", choices=["resize", "tile"],
+                    help="resize = squash inputs to the model's training size "
+                         "(reference behaviour); tile = restore at NATIVE "
+                         "resolution via 16-aligned overlap tiles blended "
+                         "with a raised-cosine window (utils/tiling.py)")
+    ap.add_argument("--tile-overlap", type=int, default=32)
+    ap.add_argument("--tile-batch", type=int, default=16,
+                    help="tiles per sampler batch in --size-mode tile "
+                         "(one static compile)")
     args = ap.parse_args(argv)
-    configure_jax_cache()
+    configure_jax_cache(getattr(args, "platform", None))
 
     from ddpm_image_restoration_tpu.config import TrainConfig, get_preset
     from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality
@@ -78,16 +89,30 @@ def main(argv=None):
         state, meta = restored
         print(f"loaded checkpoint: {meta}")
 
-    imgs = np.stack([_load_image(p, mcfg.image_size) for p in args.inputs])
     sampler = DDRMSampler(model, preset, args.consistency)
     init_t = init_timestep_for_quality(args.quality, args.steps, preset)
-    out = np.asarray(
-        sampler.sample({"params": state.params}, jnp.asarray(imgs), args.quality, init_t,
-                       stride=args.stride,
-                       encoder_reuse=args.encoder_reuse,
-                       decoder_reuse_depth=args.decoder_reuse_depth,
-                       protect=tuple(args.protect) if args.protect else None)
-    )
+
+    def restore_batch(batch: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            sampler.sample({"params": state.params}, jnp.asarray(batch),
+                           args.quality, init_t,
+                           stride=args.stride,
+                           encoder_reuse=args.encoder_reuse,
+                           decoder_reuse_depth=args.decoder_reuse_depth,
+                           protect=tuple(args.protect) if args.protect else None)
+        )
+
+    if args.size_mode == "tile":
+        from ddpm_image_restoration_tpu.utils.tiling import restore_tiled
+
+        out = [
+            restore_tiled(restore_batch, _load_image(p, None), mcfg.image_size,
+                          overlap=args.tile_overlap, batch_size=args.tile_batch)
+            for p in args.inputs
+        ]
+    else:
+        imgs = np.stack([_load_image(p, mcfg.image_size) for p in args.inputs])
+        out = restore_batch(imgs)
 
     os.makedirs(args.output_dir, exist_ok=True)
     for path, restored_img in zip(args.inputs, out):

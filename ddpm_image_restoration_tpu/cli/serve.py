@@ -64,7 +64,7 @@ def main(argv=None):
     ap.add_argument("--once", action="store_true", help="drain the directory and exit")
     ap.add_argument("--random-init", action="store_true")
     args = ap.parse_args(argv)
-    configure_jax_cache()
+    configure_jax_cache(getattr(args, "platform", None))
 
     from ddpm_image_restoration_tpu.config import TrainConfig, get_preset
     from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality

@@ -29,7 +29,7 @@ def main(argv=None):
                     help="on crash, resume from the last checkpoint up to N times "
                     "(elastic-training guard; the reference always restarts from scratch)")
     args = ap.parse_args(argv)
-    configure_jax_cache()
+    configure_jax_cache(getattr(args, "platform", None))
 
     cfg = train_config_from(args)
     dataset = None

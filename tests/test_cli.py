@@ -48,6 +48,26 @@ def test_serve_requires_checkpoint(tmp_path):
         ])
 
 
+@pytest.mark.slow
+def test_restore_tile_mode_native_resolution(tmp_path):
+    """--size-mode tile restores a non-square image at its native size via
+    fixed-shape tile batches (one compiled sampler), instead of squashing it
+    to the model's training resolution."""
+    from ddpm_image_restoration_tpu.cli.restore import main
+
+    src = tmp_path / "photo.png"
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)).save(src)
+    out = tmp_path / "out"
+    main([
+        str(src), "--codec", "webp", *TINY_FLAGS, "--random-init",
+        "--quality", "30", "--steps", "4", "--output-dir", str(out),
+        "--size-mode", "tile", "--tile-overlap", "16", "--tile-batch", "2",
+    ])
+    img = np.asarray(Image.open(out / "photo_restored.png"))
+    assert img.shape == (50, 70, 3)
+
+
 def test_train_cli_bad_flags():
     from ddpm_image_restoration_tpu.cli.train import main
 
