@@ -73,6 +73,7 @@ def train_config_from(args) -> TrainConfig:
         data_dir=args.data_dir,
         checkpoint_dir=args.checkpoint_dir,
         consistency_mode=args.consistency,
+        ema_decay=getattr(args, "ema_decay", 0.0),
     )
 
 

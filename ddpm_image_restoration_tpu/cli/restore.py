@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--random-init", action="store_true",
                     help="skip checkpoint loading (smoke tests)")
+    ap.add_argument("--use-ema", action="store_true",
+                    help="sample with the EMA params from a checkpoint "
+                         "trained with --ema-decay > 0")
     ap.add_argument("--stride", type=int, default=1,
                     help=">1 = reduced-step accelerated solver")
     ap.add_argument("--encoder-reuse", type=int, default=1,
@@ -79,7 +82,8 @@ def main(argv=None):
     mcfg = model_config_from(args)
     preset = get_preset(args.codec)
     model = build_model(args.codec, mcfg)
-    cfg = TrainConfig(codec=args.codec, model=mcfg, checkpoint_dir=args.checkpoint_dir)
+    cfg = TrainConfig(codec=args.codec, model=mcfg, checkpoint_dir=args.checkpoint_dir,
+                      ema_decay=1.0 if args.use_ema else 0.0)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0))
     if not args.random_init:
         mgr = CheckpointManager(args.checkpoint_dir)
@@ -88,13 +92,17 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
         state, meta = restored
         print(f"loaded checkpoint: {meta}")
+    params = state.ema_params if args.use_ema else state.params
+    if params is None:
+        raise SystemExit("--use-ema: checkpoint has no EMA params "
+                         "(train with --ema-decay > 0)")
 
     sampler = DDRMSampler(model, preset, args.consistency)
     init_t = init_timestep_for_quality(args.quality, args.steps, preset)
 
     def restore_batch(batch: np.ndarray) -> np.ndarray:
         return np.asarray(
-            sampler.sample({"params": state.params}, jnp.asarray(batch),
+            sampler.sample({"params": params}, jnp.asarray(batch),
                            args.quality, init_t,
                            stride=args.stride,
                            encoder_reuse=args.encoder_reuse,

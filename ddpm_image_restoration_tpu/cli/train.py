@@ -24,6 +24,9 @@ def main(argv=None):
                     choices=["waves", "dead_leaves", "mixed"],
                     help="synthetic generator (dead_leaves = natural-image-"
                          "statistics proxy: occluding power-law disks)")
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="EMA of params for validation/serving (e.g. 0.999); "
+                         "0 = off (reference behaviour)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
                     help="on crash, resume from the last checkpoint up to N times "

@@ -200,6 +200,9 @@ class TrainConfig:
     weight_decay: float = 1e-5                 # webp_training.py:775
     betas: Tuple[float, float] = (0.9, 0.99)
     grad_clip: float = 1.0                     # webp_training.py:523
+    # EMA of params for eval/serving (0 = off = reference behaviour).
+    # Validation and best-checkpoint selection use the EMA when enabled.
+    ema_decay: float = 0.0
     cosine_t0: int = 100                       # CosineAnnealingWarmRestarts(T_0=100, T_mult=2)
     cosine_t_mult: int = 2
     seed: int = 0

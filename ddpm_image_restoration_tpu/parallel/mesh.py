@@ -91,10 +91,15 @@ def state_shardings(state, mesh: Mesh):
             return NamedSharding(mesh, _kernel_spec("", x.shape, mesh.shape["model"]))
         return replicated(mesh)
 
+    extra = {}
+    ema = getattr(state, "ema_params", None)
+    if ema is not None:  # EMA mirrors the param shapes, shard identically
+        extra["ema_params"] = param_shardings(ema, mesh)
     return state.replace(
         step=replicated(mesh),
         params=p_sh,
         opt_state=jax.tree_util.tree_map(assign, state.opt_state),
+        **extra,
     )
 
 

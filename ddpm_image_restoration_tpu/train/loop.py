@@ -142,7 +142,10 @@ def train_model(
             losses.append(metrics["loss"])
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
-        val = validate_by_restoration(model, state.params, cfg, val_images, sampler)
+        # Validate (and thus pick the best checkpoint) with the EMA params
+        # when enabled — the weights that eval/serving will load.
+        eval_params = state.params if state.ema_params is None else state.ema_params
+        val = validate_by_restoration(model, eval_params, cfg, val_images, sampler)
         epoch_time = time.time() - t_start
         logger.log(epoch, loss=train_loss, epoch_time=epoch_time, **val)
         if verbose:
@@ -163,7 +166,7 @@ def train_model(
             q = preset.val_qualities[0]
             y = compress_batch(val_images, preset.name, q)
             restored = sampler.sample(
-                {"params": state.params},
+                {"params": eval_params},
                 jnp.asarray(y),
                 q,
                 init_timestep_for_quality(q, cfg.steps, preset),

@@ -17,7 +17,7 @@ ICI via the mesh's implicit psum inserted by XLA.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,10 @@ from ddpm_image_restoration_tpu.train.schedules import cosine_warm_restarts
 
 
 class TrainState(train_state.TrainState):
-    pass
+    # Exponential moving average of params (None = disabled). A standard
+    # diffusion-training stabiliser the reference lacks; off by default so
+    # default behaviour (and old checkpoints) match the reference exactly.
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.GradientTransformation:
@@ -57,7 +60,10 @@ def create_train_state(
     dummy = jnp.zeros((1, sz, sz, cfg.model.in_channels), jnp.float32)
     params = model.init(rng, dummy, jnp.zeros(1))["params"]
     tx = make_optimizer(cfg, steps_per_epoch)
-    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    ema = jax.tree_util.tree_map(jnp.copy, params) if cfg.ema_decay > 0 else None
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, ema_params=ema
+    )
 
 
 def make_train_step(model, cfg: TrainConfig) -> Callable:
@@ -81,6 +87,15 @@ def make_train_step(model, cfg: TrainConfig) -> Callable:
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
         state = state.apply_gradients(grads=grads)
+        if cfg.ema_decay > 0:
+            d = cfg.ema_decay
+            state = state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    state.ema_params,
+                    state.params,
+                )
+            )
         gnorm = optax.global_norm(grads)
         return state, {"loss": loss, "grad_norm": gnorm}
 

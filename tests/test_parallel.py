@@ -91,6 +91,28 @@ def test_dp_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_sharded_step_with_ema(rng):
+    """ema_params must flow through shard_train_step (sharded like params)
+    on both 1-D and 2-D meshes."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), ema_decay=0.9)
+    model = build_model(cfg.codec, cfg.model)
+    step_fn = make_train_step(model, cfg)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(3)
+    for shape, axes in [((-1,), ("data",)), ((4, 2), ("data", "model"))]:
+        mesh = make_mesh(shape, axes)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        pstep = shard_train_step(step_fn, mesh, state)
+        s, m = pstep(put_state(state, mesh), put_batch(batch, mesh), key)
+        assert np.isfinite(float(m["loss"]))
+        e = jax.tree_util.tree_leaves(s.ema_params)[0]
+        p = jax.tree_util.tree_leaves(s.params)[0]
+        assert np.isfinite(np.asarray(e)).all()
+        assert not np.allclose(np.asarray(e), np.asarray(p))
+
+
 def test_2d_mesh_train_step(rng):
     """(data=4, model=2) mesh: XLA inserts channel all-gathers; loss finite
     and matches the single-device step."""

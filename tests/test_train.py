@@ -94,6 +94,48 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     mgr.close()
 
 
+def test_ema_update_math_and_checkpoint(tmp_path, rng):
+    """EMA tracks params with the configured decay (exact one-step algebra),
+    defaults to off, and round-trips through Orbax."""
+    cfg_off = tiny_cfg(tmp_path / "off")
+    model = build_model(cfg_off.codec, cfg_off.model)
+    assert create_train_state(model, cfg_off, jax.random.PRNGKey(0)).ema_params is None
+
+    cfg = tiny_cfg(tmp_path / "ckpt", ema_decay=0.9)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    # at init the EMA equals the params
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    e0 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(e0))
+
+    step = jax.jit(make_train_step(model, cfg))
+    prev_params = state.params
+    state, _ = step(state, _fake_batch(rng), jax.random.PRNGKey(1))
+    want = jax.tree_util.tree_map(
+        lambda e, p: e * 0.9 + p * 0.1, prev_params, state.params
+    )
+    for w, g in zip(
+        jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(state.ema_params)
+    ):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-6)
+    # EMA lags the raw params after an update
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, {"val_psnr": 10.0, "epoch": 0})
+    mgr.wait()
+    template = create_train_state(model, cfg, jax.random.PRNGKey(2))
+    restored, _ = mgr.restore_latest(template)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]),
+    )
+    mgr.close()
+
+
 @pytest.mark.slow
 def test_end_to_end_mini_training(tmp_path):
     """The minimum end-to-end slice (SURVEY.md §7): synthetic data ->
