@@ -31,6 +31,9 @@ def main(argv=None):
                     help="synthetic generator (dead_leaves = natural-image-"
                          "statistics proxy: occluding power-law disks)")
     ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--use-ema", action="store_true",
+                    help="evaluate the EMA params from a checkpoint trained "
+                         "with --ema-decay > 0")
     ap.add_argument("--prediction", default="direct", choices=["direct", "residual"])
     ap.add_argument("--stride", type=int, default=1,
                     help=">1 = reduced-step accelerated solver")
@@ -70,7 +73,8 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, qualities_override=tuple(args.qualities))
 
     model = build_model(args.codec, cfg.model)
-    tc = TrainConfig(codec=args.codec, model=cfg.model, checkpoint_dir=args.checkpoint_dir)
+    tc = TrainConfig(codec=args.codec, model=cfg.model, checkpoint_dir=args.checkpoint_dir,
+                     ema_decay=1.0 if args.use_ema else 0.0)
     state = create_train_state(model, tc, jax.random.PRNGKey(0))
     if not args.random_init:
         mgr = CheckpointManager(args.checkpoint_dir)
@@ -79,6 +83,10 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
         state, meta = restored
         print(f"loaded checkpoint: {meta}")
+    eval_params = state.ema_params if args.use_ema else state.params
+    if eval_params is None:
+        raise SystemExit("--use-ema: checkpoint has no EMA params "
+                         "(train with --ema-decay > 0)")
 
     if args.synthetic:
         ds = SyntheticImageDataset(args.synthetic, cfg.model.image_size,
@@ -90,7 +98,7 @@ def main(argv=None):
         _, _, test_idx = split_indices(len(ds))  # seeded test split
     images = np.stack([ds[int(i)] for i in test_idx])
 
-    evaluate_restoration(cfg, model, state.params, images,
+    evaluate_restoration(cfg, model, eval_params, images,
                          batch_size=args.batch_size, prediction=args.prediction,
                          stride=args.stride,
                          encoder_reuse=args.encoder_reuse,

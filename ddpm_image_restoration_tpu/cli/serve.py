@@ -63,6 +63,9 @@ def main(argv=None):
     ap.add_argument("--poll-seconds", type=float, default=1.0)
     ap.add_argument("--once", action="store_true", help="drain the directory and exit")
     ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--use-ema", action="store_true",
+                    help="serve with the EMA params from a checkpoint "
+                         "trained with --ema-decay > 0")
     args = ap.parse_args(argv)
     configure_jax_cache(getattr(args, "platform", None))
 
@@ -77,7 +80,10 @@ def main(argv=None):
     preset = get_preset(args.codec)
     model = build_model(args.codec, mcfg)
     state = create_train_state(
-        model, TrainConfig(codec=args.codec, model=mcfg), jax.random.PRNGKey(0)
+        model,
+        TrainConfig(codec=args.codec, model=mcfg,
+                    ema_decay=1.0 if args.use_ema else 0.0),
+        jax.random.PRNGKey(0),
     )
     if not args.random_init:
         mgr = CheckpointManager(args.checkpoint_dir)
@@ -86,10 +92,14 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
         state, meta = restored
         print(f"serving with checkpoint: {meta}", flush=True)
+    serve_params = state.ema_params if args.use_ema else state.params
+    if serve_params is None:
+        raise SystemExit("--use-ema: checkpoint has no EMA params "
+                         "(train with --ema-decay > 0)")
 
     sampler = DDRMSampler(model, preset)
     init_t = init_timestep_for_quality(args.quality, args.steps, preset)
-    params = {"params": state.params}
+    params = {"params": serve_params}
     os.makedirs(args.output_dir, exist_ok=True)
     done_dir = args.processed_dir or os.path.join(args.watch, "done")
     os.makedirs(done_dir, exist_ok=True)
