@@ -46,6 +46,9 @@ def main(argv=None):
                          "decoder stages across each reuse group, "
                          "recomputing only the last N high-resolution "
                          "stages + head (DeepCache-style)")
+    ap.add_argument("--ensemble", type=int, default=1, choices=[1, 2, 4, 8],
+                    help="dihedral test-time self-ensemble: average the "
+                         "restorations of N flip/rotation variants")
     ap.add_argument("--qualities", type=int, nargs="*", default=None,
                     help="override the preset's eval quality list")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
@@ -103,6 +106,7 @@ def main(argv=None):
                          stride=args.stride,
                          encoder_reuse=args.encoder_reuse,
                          decoder_reuse_depth=args.decoder_reuse_depth,
+                         ensemble=args.ensemble,
                          protect=tuple(args.protect) if args.protect else None)
 
 

@@ -60,6 +60,10 @@ def main(argv=None):
                          "stages + head (DeepCache-style)")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
                     help="quality-gated blend protecting near-lossless inputs")
+    ap.add_argument("--ensemble", type=int, default=1, choices=[1, 2, 4, 8],
+                    help="dihedral test-time self-ensemble: average the "
+                         "restorations of N flip/rotation variants "
+                         "(8 needs square inputs; ~N x restore time)")
     ap.add_argument("--size-mode", default="resize", choices=["resize", "tile"],
                     help="resize = squash inputs to the model's training size "
                          "(reference behaviour); tile = restore at NATIVE "
@@ -100,14 +104,17 @@ def main(argv=None):
     sampler = DDRMSampler(model, preset, args.consistency)
     init_t = init_timestep_for_quality(args.quality, args.steps, preset)
 
+    from ddpm_image_restoration_tpu.diffusion.ensemble import sample_ensemble
+
     def restore_batch(batch: np.ndarray) -> np.ndarray:
         return np.asarray(
-            sampler.sample({"params": params}, jnp.asarray(batch),
-                           args.quality, init_t,
-                           stride=args.stride,
-                           encoder_reuse=args.encoder_reuse,
-                           decoder_reuse_depth=args.decoder_reuse_depth,
-                           protect=tuple(args.protect) if args.protect else None)
+            sample_ensemble(sampler, {"params": params}, jnp.asarray(batch),
+                            args.quality, init_t,
+                            n_transforms=args.ensemble,
+                            stride=args.stride,
+                            encoder_reuse=args.encoder_reuse,
+                            decoder_reuse_depth=args.decoder_reuse_depth,
+                            protect=tuple(args.protect) if args.protect else None)
         )
 
     if args.size_mode == "tile":

@@ -16,3 +16,8 @@ from ddpm_image_restoration_tpu.diffusion.gaussian_mixture import (  # noqa: F40
     svd_structure_preservation,
 )
 from ddpm_image_restoration_tpu.diffusion.forward import forward_process  # noqa: F401
+from ddpm_image_restoration_tpu.diffusion.ensemble import (  # noqa: F401
+    dihedral,
+    dihedral_inverse,
+    sample_ensemble,
+)

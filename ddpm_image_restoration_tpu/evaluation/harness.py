@@ -28,6 +28,7 @@ from ddpm_image_restoration_tpu.config import EvalConfig
 from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
 from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality
 from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+from ddpm_image_restoration_tpu.diffusion.ensemble import sample_ensemble
 from ddpm_image_restoration_tpu.diffusion.losses import ssim
 from ddpm_image_restoration_tpu.evaluation.fid import default_feature_extractor, fid_between
 from ddpm_image_restoration_tpu.evaluation.lpips import LPIPS
@@ -65,6 +66,7 @@ def evaluate_restoration(
     protect=None,
     encoder_reuse: int = 1,
     decoder_reuse_depth: int = 0,
+    ensemble: int = 1,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -95,10 +97,11 @@ def evaluate_restoration(
             y = compress_batch(x0, preset.name, quality)
             key, sub = jax.random.split(key)
             restored = np.asarray(
-                sampler.sample(wrapped, jnp.asarray(y), quality, init_t, key=sub,
-                               stride=stride, protect=protect,
-                               encoder_reuse=encoder_reuse,
-                               decoder_reuse_depth=decoder_reuse_depth)
+                sample_ensemble(sampler, wrapped, jnp.asarray(y), quality, init_t,
+                                n_transforms=ensemble, key=sub,
+                                stride=stride, protect=protect,
+                                encoder_reuse=encoder_reuse,
+                                decoder_reuse_depth=decoder_reuse_depth)
             )
             n_restored += len(x0)
 

@@ -63,16 +63,91 @@ class CheckpointManager:
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
+    def _ema_on_disk(self, step: int) -> str:
+        """What the checkpoint's optional ema_params field looks like on disk:
+        'absent' (pre-EMA save), 'none' (saved with EMA off), or 'tree'."""
+        import json
+
+        path = os.path.join(self.directory, str(step), "state", "_METADATA")
+        try:
+            with open(path) as f:
+                tree = json.load(f)["tree_metadata"]
+        except (OSError, KeyError, ValueError):
+            return "unknown"
+        keys = [k for k in tree if "'ema_params'" in k]
+        if not keys:
+            return "absent"
+        if keys == ["('ema_params',)"]:
+            return "none"
+        return "tree"
+
     def restore(self, step: int, target) -> Tuple[Any, Dict]:
-        """Restore TrainState (using `target` as the structure template)."""
-        out = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(target),
-                metadata=ocp.args.JsonRestore(),
-            ),
+        """Restore TrainState (using `target` as the structure template).
+
+        Tolerates the optional `ema_params` field in EITHER direction: a
+        pre-EMA checkpoint loads into an EMA-enabled state (EMA left None —
+        callers that require it raise their own error) and an EMA-carrying
+        checkpoint loads into a plain state (EMA restored and kept). The
+        on-disk variant is read from the step's _METADATA and the restore
+        template (a dict mirroring the saved fields, leaf shardings taken
+        from `target`) is built to match, so the optional field never
+        hard-fails the structure check."""
+        import jax
+
+        def _do_raw(t):
+            out = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(t),
+                    metadata=ocp.args.JsonRestore(),
+                ),
+            )
+            return out["state"], out["metadata"]
+
+        if not (hasattr(target, "params") and hasattr(target, "opt_state")):
+            return _do_raw(target)  # generic pytree target: restore as-is
+
+        def _template(kind: str) -> dict:
+            tmpl = {
+                "step": target.step,
+                "params": target.params,
+                "opt_state": target.opt_state,
+            }
+            if kind == "none":
+                tmpl["ema_params"] = None
+            elif kind == "tree":
+                # EMA mirrors the param shapes/shardings
+                tmpl["ema_params"] = jax.tree_util.tree_map(
+                    lambda x: x, target.params
+                )
+            return tmpl
+
+        _do = _do_raw
+
+        kind = self._ema_on_disk(step)
+        if kind != "unknown":
+            st, meta = _do(_template(kind))
+        else:  # metadata unreadable: try the three variants in turn
+            last = None
+            for k in ("tree", "none", "absent"):
+                try:
+                    st, meta = _do(_template(k))
+                    break
+                except ValueError as e:
+                    if "ema_params" not in str(e):
+                        raise
+                    last = e
+            else:
+                raise last
+        # ema_params is ONLY ever checkpoint data — never the template's
+        # (random-init) copy, which would silently serve untrained weights.
+        state = target.replace(
+            step=st["step"],
+            params=st["params"],
+            opt_state=st["opt_state"],
+            ema_params=st.get("ema_params"),
         )
-        return out["state"], out["metadata"]
+        return state, meta
 
     def restore_latest(self, target) -> Optional[Tuple[Any, Dict]]:
         step = self.latest_step()

@@ -124,6 +124,15 @@ def train_model(
         restored = ckpt.restore_latest(state)
         if restored is not None:
             state, meta = restored
+            if cfg.ema_decay > 0 and state.ema_params is None:
+                # resuming a pre-EMA checkpoint with EMA newly enabled:
+                # seed the average from the restored params (also keeps the
+                # compiled step's pytree structure consistent)
+                state = state.replace(
+                    ema_params=jax.tree_util.tree_map(jnp.copy, state.params)
+                )
+            elif cfg.ema_decay == 0 and state.ema_params is not None:
+                state = state.replace(ema_params=None)
             start_epoch = int(meta.get("epoch", 0)) + 1
             if verbose:
                 print(f"resumed from epoch {start_epoch - 1}")

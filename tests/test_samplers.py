@@ -271,3 +271,77 @@ def test_unet_encode_decode_split(y32):
     feats = model.apply(params, y32, t, t, method="encode")
     split = model.apply(params, feats, t, t, method="decode")
     np.testing.assert_array_equal(np.asarray(split), np.asarray(full))
+
+
+# --- dihedral test-time self-ensemble (diffusion/ensemble.py) ---
+
+
+def test_dihedral_roundtrip_and_group(rng):
+    from ddpm_image_restoration_tpu.diffusion.ensemble import (
+        dihedral,
+        dihedral_inverse,
+    )
+
+    x_sq = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype("f"))
+    for k in range(8):
+        back = dihedral_inverse(dihedral(x_sq, k), k)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x_sq), err_msg=str(k))
+    # the 8 elements are distinct on a generic square image
+    imgs = [np.asarray(dihedral(x_sq, k)) for k in range(8)]
+    for a in range(8):
+        for b in range(a + 1, 8):
+            assert not np.allclose(imgs[a], imgs[b]), (a, b)
+    # non-square: flips fine, transpositions rejected
+    x_rect = jnp.asarray(rng.normal(size=(1, 4, 8, 3)).astype("f"))
+    for k in range(4):
+        back = dihedral_inverse(dihedral(x_rect, k), k)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x_rect))
+    with pytest.raises(ValueError):
+        dihedral(x_rect, 4)
+
+
+def test_sample_ensemble_identity_codec(y32):
+    """Ensembling a sampler that returns y for every variant must return y
+    (each variant's restoration inverts back to y; the mean is y)."""
+    from ddpm_image_restoration_tpu.diffusion.ensemble import sample_ensemble
+
+    preset = get_preset("webp")
+    sampler = DDRMSampler(_ZeroModel(), preset)
+    sampler.consistency = lambda x, q: x  # identity codec
+    sampler._compiled.clear()
+    for n in (1, 2, 4):
+        out = sample_ensemble(sampler, None, y32, 50, 5, n_transforms=n, eta=0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
+    with pytest.raises(ValueError):
+        sample_ensemble(sampler, None, y32, 50, 5, n_transforms=3)
+
+
+def test_sample_ensemble_averages_variants(y32):
+    """A model whose prediction is orientation-sensitive: the ensemble output
+    must equal the hand-computed mean over inverted variants."""
+    from ddpm_image_restoration_tpu.diffusion.ensemble import (
+        dihedral,
+        dihedral_inverse,
+        sample_ensemble,
+    )
+
+    class _RampModel:
+        def apply(self, params, x, t, level=None):
+            h = x.shape[1]
+            ramp = jnp.linspace(-0.1, 0.1, h)[None, :, None, None]
+            return jnp.broadcast_to(ramp, x.shape)
+
+    preset = get_preset("webp")
+    sampler = DDRMSampler(_RampModel(), preset)
+    sampler.consistency = lambda x, q: jnp.zeros_like(x)  # codec(x)=0
+    sampler._compiled.clear()
+
+    want = []
+    for k in range(4):
+        out_k = sampler.sample(None, dihedral(y32, k), 50, 3, eta=0.0)
+        want.append(np.asarray(dihedral_inverse(out_k, k)))
+    got = sample_ensemble(sampler, None, y32, 50, 3, n_transforms=4, eta=0.0)
+    np.testing.assert_allclose(np.asarray(got), np.mean(want, axis=0), atol=1e-5)
+    # and it differs from the single-orientation restore (sanity: TTA does something)
+    single = np.asarray(sampler.sample(None, y32, 50, 3, eta=0.0))
+    assert not np.allclose(np.asarray(got), single)

@@ -136,6 +136,50 @@ def test_ema_update_math_and_checkpoint(tmp_path, rng):
     mgr.close()
 
 
+def test_checkpoint_ema_compat_both_ways(tmp_path, rng):
+    """Checkpoints must load across the optional ema_params field:
+    pre-EMA ckpt -> EMA-enabled state (EMA None, callers decide), and
+    EMA ckpt -> plain state (EMA restored and kept, never template data)."""
+    model = build_model("webp", TINY_MODEL)
+
+    # pre-EMA-format checkpoint: saved WITHOUT the ema_params key
+    cfg_off = tiny_cfg(tmp_path / "old")
+    s_old = create_train_state(model, cfg_off, jax.random.PRNGKey(0))
+    mgr_old = CheckpointManager(str(tmp_path / "old"))
+    mgr_old.save(
+        0,
+        {"step": s_old.step, "params": s_old.params, "opt_state": s_old.opt_state},
+        {"val_psnr": 10.0, "epoch": 0},
+    )
+    mgr_old.wait()
+    cfg_ema = tiny_cfg(tmp_path / "old", ema_decay=0.9)
+    tgt = create_train_state(model, cfg_ema, jax.random.PRNGKey(1))
+    restored, _ = mgr_old.restore_latest(tgt)
+    assert restored.ema_params is None  # never the template's random copy
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(s_old.params)[0]),
+    )
+    mgr_old.close()
+
+    # EMA-format checkpoint into a plain (no-EMA) target
+    cfg_on = tiny_cfg(tmp_path / "new", ema_decay=0.9)
+    s_new = create_train_state(model, cfg_on, jax.random.PRNGKey(2))
+    step = jax.jit(make_train_step(model, cfg_on))
+    s_new, _ = step(s_new, _fake_batch(rng), jax.random.PRNGKey(3))
+    mgr_new = CheckpointManager(str(tmp_path / "new"))
+    mgr_new.save(0, s_new, {"val_psnr": 10.0, "epoch": 0})
+    mgr_new.wait()
+    plain_tgt = create_train_state(model, tiny_cfg(tmp_path / "new"), jax.random.PRNGKey(4))
+    assert plain_tgt.ema_params is None
+    restored2, _ = mgr_new.restore_latest(plain_tgt)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored2.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(s_new.ema_params)[0]),
+    )
+    mgr_new.close()
+
+
 @pytest.mark.slow
 def test_end_to_end_mini_training(tmp_path):
     """The minimum end-to-end slice (SURVEY.md §7): synthetic data ->
