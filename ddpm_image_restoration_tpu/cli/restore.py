@@ -38,8 +38,10 @@ def main(argv=None):
     ap.add_argument("inputs", nargs="+", help="image files (treated as already compressed)")
     ap.add_argument("--checkpoint-dir", default="./checkpoints")
     ap.add_argument("--output-dir", default="./restored")
-    ap.add_argument("--quality", type=int, default=30,
-                    help="quality the inputs were compressed at")
+    ap.add_argument("--quality", default="30",
+                    help="quality the inputs were compressed at, or 'auto' "
+                         "(JPEG inputs: recovered from the file's "
+                         "quantization tables)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--random-init", action="store_true",
@@ -102,32 +104,57 @@ def main(argv=None):
                          "(train with --ema-decay > 0)")
 
     sampler = DDRMSampler(model, preset, args.consistency)
-    init_t = init_timestep_for_quality(args.quality, args.steps, preset)
+
+    if args.quality == "auto":
+        from ddpm_image_restoration_tpu.codecs.quality import estimate_jpeg_quality
+
+        qualities = []
+        for p in args.inputs:
+            q = estimate_jpeg_quality(p)
+            if q is None:
+                q = 30
+                print(f"{p}: no JPEG quantization tables; assuming quality {q}")
+            else:
+                print(f"{p}: estimated JPEG quality {q}")
+            qualities.append(q)
+    else:
+        qualities = [int(args.quality)] * len(args.inputs)
 
     from ddpm_image_restoration_tpu.diffusion.ensemble import sample_ensemble
 
-    def restore_batch(batch: np.ndarray) -> np.ndarray:
-        return np.asarray(
-            sample_ensemble(sampler, {"params": params}, jnp.asarray(batch),
-                            args.quality, init_t,
-                            n_transforms=args.ensemble,
-                            stride=args.stride,
-                            encoder_reuse=args.encoder_reuse,
-                            decoder_reuse_depth=args.decoder_reuse_depth,
-                            protect=tuple(args.protect) if args.protect else None)
-        )
+    def make_restore_batch(quality: int):
+        init_t = init_timestep_for_quality(quality, args.steps, preset)
+
+        def restore_batch(batch: np.ndarray) -> np.ndarray:
+            return np.asarray(
+                sample_ensemble(sampler, {"params": params}, jnp.asarray(batch),
+                                quality, init_t,
+                                n_transforms=args.ensemble,
+                                stride=args.stride,
+                                encoder_reuse=args.encoder_reuse,
+                                decoder_reuse_depth=args.decoder_reuse_depth,
+                                protect=tuple(args.protect) if args.protect else None)
+            )
+
+        return restore_batch
 
     if args.size_mode == "tile":
         from ddpm_image_restoration_tpu.utils.tiling import restore_tiled
 
         out = [
-            restore_tiled(restore_batch, _load_image(p, None), mcfg.image_size,
+            restore_tiled(make_restore_batch(q), _load_image(p, None),
+                          mcfg.image_size,
                           overlap=args.tile_overlap, batch_size=args.tile_batch)
-            for p in args.inputs
+            for p, q in zip(args.inputs, qualities)
         ]
-    else:
+    elif len(set(qualities)) == 1:
         imgs = np.stack([_load_image(p, mcfg.image_size) for p in args.inputs])
-        out = restore_batch(imgs)
+        out = make_restore_batch(qualities[0])(imgs)
+    else:  # per-file estimated qualities: restore one at a time
+        out = [
+            make_restore_batch(q)(_load_image(p, mcfg.image_size)[None])[0]
+            for p, q in zip(args.inputs, qualities)
+        ]
 
     os.makedirs(args.output_dir, exist_ok=True)
     for path, restored_img in zip(args.inputs, out):

@@ -46,3 +46,53 @@ def sample_quality_range(
     if rng.random() < 0.5:
         return (40, 70)
     return (preset.quality_min, 40)   # WebP's low range starts at 0 (webp_training.py:496)
+
+
+def _expected_jpeg_tables(quality: int) -> Tuple[np.ndarray, np.ndarray]:
+    """The exact (luma, chroma) quantization tables libjpeg writes at
+    `quality` with baseline clamping — jpeg_set_quality's scaling of the
+    Annex K base tables."""
+    from ddpm_image_restoration_tpu.codecs.surrogate import _JPEG_CHROMA, _JPEG_LUMA
+
+    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    def scaled(base):
+        return np.clip(np.floor((base * scale + 50.0) / 100.0), 1, 255)
+    return scaled(_JPEG_LUMA), scaled(_JPEG_CHROMA)
+
+
+def estimate_jpeg_quality(image) -> int | None:
+    """Recover the encoder quality setting of a JPEG from its quantization
+    tables (a capability the reference lacks: every harness there takes the
+    quality as ground-truth input).
+
+    Accepts a path or an open PIL image. Returns the q in [1, 100] whose
+    libjpeg-standard tables are closest (L1 over *sorted* entries, making the
+    comparison independent of zigzag-vs-natural coefficient order, which
+    varies across Pillow versions), or None when the file is not a JPEG /
+    carries no quantization tables (non-standard encoders still resolve to
+    the nearest standard quality).
+    """
+    from PIL import Image
+
+    im = image
+    if not hasattr(image, "quantization"):
+        try:
+            im = Image.open(image)
+        except Exception:
+            return None
+    tables = getattr(im, "quantization", None)
+    if not tables:
+        return None
+    observed = [
+        np.sort(np.asarray(tables[k], np.float32)) for k in sorted(tables)[:2]
+    ]
+    best_q, best_err = None, np.inf
+    for q in range(1, 101):
+        expected = _expected_jpeg_tables(q)[: len(observed)]
+        err = sum(
+            float(np.abs(np.sort(e.ravel()) - o).sum())
+            for e, o in zip(expected, observed)
+        )
+        if err < best_err:
+            best_q, best_err = q, err
+    return best_q

@@ -79,3 +79,31 @@ def test_curriculum_distribution(rng):
     assert 0.2 < frac_high_early < 0.4      # P=0.3 at epoch 0
     assert 0.6 < frac_high_late < 0.8       # P=0.7 at epoch>=100
     assert any(r[0] == 0 for r in early)    # WebP low range starts at 0
+
+
+def test_estimate_jpeg_quality_exact(tmp_path):
+    """Estimator recovers libjpeg's quality setting exactly across the scale
+    (both table-scaling regimes and the clamp ends), and returns None for
+    non-JPEG inputs."""
+    import io
+
+    from PIL import Image
+
+    from ddpm_image_restoration_tpu.codecs.quality import estimate_jpeg_quality
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    for q in [2, 5, 10, 30, 50, 75, 90, 95, 100]:
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=q)
+        buf.seek(0)
+        assert estimate_jpeg_quality(Image.open(buf)) == q
+    # path input
+    p = tmp_path / "x.jpg"
+    img.save(p, "JPEG", quality=37)
+    assert estimate_jpeg_quality(str(p)) == 37
+    # non-JPEG
+    png = tmp_path / "x.png"
+    img.save(png, "PNG")
+    assert estimate_jpeg_quality(str(png)) is None
+    assert estimate_jpeg_quality("/nonexistent/file.jpg") is None
