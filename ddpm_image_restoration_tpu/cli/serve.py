@@ -26,7 +26,9 @@ _EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
 
 def _load(path, size):
-    img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
+    img = Image.open(path).convert("RGB")
+    if size is not None:
+        img = img.resize((size, size), Image.BILINEAR)
     return (np.asarray(img, np.float32) / 255.0) * 2.0 - 1.0
 
 
@@ -66,6 +68,11 @@ def main(argv=None):
     ap.add_argument("--use-ema", action="store_true",
                     help="serve with the EMA params from a checkpoint "
                          "trained with --ema-decay > 0")
+    ap.add_argument("--size-mode", default="resize", choices=["resize", "tile"],
+                    help="resize = squash inputs to the model's training "
+                         "size; tile = serve at NATIVE resolution via "
+                         "16-aligned overlap tiles (utils/tiling.py)")
+    ap.add_argument("--tile-overlap", type=int, default=32)
     args = ap.parse_args(argv)
     configure_jax_cache(getattr(args, "platform", None))
 
@@ -118,21 +125,39 @@ def main(argv=None):
             time.sleep(args.poll_seconds)
             continue
         batch_files = files[: args.batch_size]
-        imgs = np.stack([_load(os.path.join(args.watch, f), mcfg.image_size)
-                         for f in batch_files])
-        # pad to the compiled batch size so one executable serves every request
         n = len(batch_files)
-        if n < args.batch_size:
-            imgs = np.concatenate(
-                [imgs, np.zeros((args.batch_size - n, *imgs.shape[1:]), np.float32)]
-            )
         key, sub = jax.random.split(key)
-        out = np.asarray(
-            sampler.sample(params, jnp.asarray(imgs), args.quality, init_t,
-                           key=sub, stride=args.stride,
-                           encoder_reuse=args.encoder_reuse,
-                           decoder_reuse_depth=args.decoder_reuse_depth)
-        )[:n]
+        if args.size_mode == "tile":
+            from ddpm_image_restoration_tpu.utils.tiling import restore_tiled
+
+            def restore_fixed(batch: np.ndarray) -> np.ndarray:
+                return np.asarray(
+                    sampler.sample(params, jnp.asarray(batch), args.quality,
+                                   init_t, key=sub, stride=args.stride,
+                                   encoder_reuse=args.encoder_reuse,
+                                   decoder_reuse_depth=args.decoder_reuse_depth)
+                )
+
+            out = [
+                restore_tiled(restore_fixed, _load(os.path.join(args.watch, f), None),
+                              mcfg.image_size, overlap=args.tile_overlap,
+                              batch_size=args.batch_size)
+                for f in batch_files
+            ]
+        else:
+            imgs = np.stack([_load(os.path.join(args.watch, f), mcfg.image_size)
+                             for f in batch_files])
+            # pad to the compiled batch size so one executable serves every request
+            if n < args.batch_size:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((args.batch_size - n, *imgs.shape[1:]), np.float32)]
+                )
+            out = np.asarray(
+                sampler.sample(params, jnp.asarray(imgs), args.quality, init_t,
+                               key=sub, stride=args.stride,
+                               encoder_reuse=args.encoder_reuse,
+                               decoder_reuse_depth=args.decoder_reuse_depth)
+            )[:n]
         for f, img in zip(batch_files, out):
             _save(os.path.join(args.output_dir, os.path.splitext(f)[0] + "_restored.png"), img)
             os.replace(os.path.join(args.watch, f), os.path.join(done_dir, f))

@@ -49,6 +49,26 @@ def test_serve_requires_checkpoint(tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_tile_mode_native_resolution(tmp_path):
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    Image.fromarray(rng.integers(0, 255, (40, 90, 3), dtype=np.uint8)).save(
+        watch / "wide.png")
+    main([
+        "--watch", str(watch), "--output-dir", str(out), "--codec", "webp",
+        *TINY_FLAGS, "--random-init", "--quality", "30", "--steps", "4",
+        "--batch-size", "2", "--once", "--size-mode", "tile",
+        "--tile-overlap", "16",
+    ])
+    img = np.asarray(Image.open(out / "wide_restored.png"))
+    assert img.shape == (40, 90, 3)
+
+
+@pytest.mark.slow
 def test_restore_tile_mode_native_resolution(tmp_path):
     """--size-mode tile restores a non-square image at its native size via
     fixed-shape tile batches (one compiled sampler), instead of squashing it
