@@ -40,8 +40,9 @@ def main(argv=None):
     ap.add_argument("--output-dir", default="./restored")
     ap.add_argument("--quality", default="30",
                     help="quality the inputs were compressed at, or 'auto' "
-                         "(JPEG inputs: recovered from the file's "
-                         "quantization tables)")
+                         "(recovered from the bitstream: exact for JPEG "
+                         "quantization tables, approximate for lossy WebP "
+                         "via the VP8 quantizer index)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--random-init", action="store_true",
@@ -106,16 +107,17 @@ def main(argv=None):
     sampler = DDRMSampler(model, preset, args.consistency)
 
     if args.quality == "auto":
-        from ddpm_image_restoration_tpu.codecs.quality import estimate_jpeg_quality
+        from ddpm_image_restoration_tpu.codecs.estimate import estimate_quality
 
         qualities = []
         for p in args.inputs:
-            q = estimate_jpeg_quality(p)
+            q = estimate_quality(p)
             if q is None:
                 q = 30
-                print(f"{p}: no JPEG quantization tables; assuming quality {q}")
+                print(f"{p}: quality not recoverable from bitstream "
+                      f"(JPEG and lossy WebP only); assuming {q}")
             else:
-                print(f"{p}: estimated JPEG quality {q}")
+                print(f"{p}: estimated quality {q}")
             qualities.append(q)
     else:
         qualities = [int(args.quality)] * len(args.inputs)

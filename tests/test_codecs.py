@@ -107,3 +107,53 @@ def test_estimate_jpeg_quality_exact(tmp_path):
     img.save(png, "PNG")
     assert estimate_jpeg_quality(str(png)) is None
     assert estimate_jpeg_quality("/nonexistent/file.jpg") is None
+
+
+def test_webp_quality_estimation(tmp_path):
+    """VP8 header parse recovers a plausible quality: monotone in the true
+    setting and within the calibrated tolerance on natural-statistics
+    content; lossless WebP and non-WebP return None."""
+    import io
+
+    from PIL import Image
+
+    from ddpm_image_restoration_tpu.codecs.estimate import (
+        estimate_quality,
+        estimate_webp_quality,
+        parse_webp_y_ac_qi,
+    )
+    from ddpm_image_restoration_tpu.data.dataset import SyntheticImageDataset
+
+    ds = SyntheticImageDataset(4, 64, seed=9, kind="dead_leaves")
+    imgs = [Image.fromarray(((ds[i] * 0.5 + 0.5) * 255).astype(np.uint8))
+            for i in range(4)]
+    prev = -1.0
+    for q in [10, 30, 50, 70, 90]:
+        ests = []
+        for im in imgs:
+            buf = io.BytesIO()
+            im.save(buf, "WEBP", quality=q)
+            qi = parse_webp_y_ac_qi(buf.getvalue())
+            assert qi is not None and 0 <= qi <= 127
+            ests.append(estimate_webp_quality(buf.getvalue()))
+        est = float(np.median(ests))
+        assert abs(est - q) <= 10, (q, ests)
+        assert est > prev  # monotone across the quality grid
+        prev = est
+
+    # lossless WebP carries no VP8 quantizer
+    buf = io.BytesIO()
+    imgs[0].save(buf, "WEBP", lossless=True)
+    assert parse_webp_y_ac_qi(buf.getvalue()) is None
+
+    # dispatcher: sniffs JPEG exactly, WebP approximately, None otherwise
+    p_jpg = tmp_path / "a.jpg"
+    imgs[0].save(p_jpg, "JPEG", quality=42)
+    assert estimate_quality(str(p_jpg)) == 42
+    p_webp = tmp_path / "a.webp"
+    imgs[0].save(p_webp, "WEBP", quality=50)
+    assert abs(estimate_quality(str(p_webp)) - 50) <= 12
+    p_png = tmp_path / "a.png"
+    imgs[0].save(p_png, "PNG")
+    assert estimate_quality(str(p_png)) is None
+    assert estimate_quality("/nonexistent.webp") is None
