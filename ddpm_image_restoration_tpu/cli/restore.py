@@ -41,8 +41,9 @@ def main(argv=None):
     ap.add_argument("--quality", default="30",
                     help="quality the inputs were compressed at, or 'auto' "
                          "(recovered from the bitstream: exact for JPEG "
-                         "quantization tables, approximate for lossy WebP "
-                         "via the VP8 quantizer index)")
+                         "quantization tables and AVIF base_q_idx, "
+                         "approximate for lossy WebP via the VP8 "
+                         "quantizer index)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--random-init", action="store_true",
@@ -115,7 +116,7 @@ def main(argv=None):
             if q is None:
                 q = 30
                 print(f"{p}: quality not recoverable from bitstream "
-                      f"(JPEG and lossy WebP only); assuming {q}")
+                      f"(JPEG, lossy WebP, AVIF only); assuming {q}")
             else:
                 print(f"{p}: estimated quality {q}")
             qualities.append(q)

@@ -157,3 +157,41 @@ def test_webp_quality_estimation(tmp_path):
     imgs[0].save(p_png, "PNG")
     assert estimate_quality(str(p_png)) is None
     assert estimate_quality("/nonexistent.webp") is None
+
+
+def test_avif_quality_estimation(tmp_path):
+    """AV1 header walk recovers libavif's quality setting to +-1 (the qidx
+    table is content- and size-independent); dispatcher sniffs the ftyp box."""
+    import io
+
+    from PIL import Image
+
+    from ddpm_image_restoration_tpu.codecs.estimate import (
+        estimate_avif_quality,
+        estimate_quality,
+        parse_avif_base_q_idx,
+    )
+
+    rng = np.random.default_rng(5)
+    try:
+        probe = io.BytesIO()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(probe, "AVIF")
+    except Exception:
+        pytest.skip("no AVIF encoder in this environment")
+
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)),
+        Image.fromarray((np.indices((77, 123)).sum(0) % 255).astype(np.uint8)).convert("RGB"),
+    ]
+    for q in [1, 10, 25, 50, 75, 90, 100]:
+        for im in imgs:
+            buf = io.BytesIO()
+            im.save(buf, "AVIF", quality=q)
+            qidx = parse_avif_base_q_idx(buf.getvalue())
+            assert qidx is not None and 0 <= qidx <= 255
+            assert abs(estimate_avif_quality(buf.getvalue()) - q) <= 1, q
+
+    p = tmp_path / "x.avif"
+    imgs[0].save(p, "AVIF", quality=33)
+    assert abs(estimate_quality(str(p)) - 33) <= 1
+    assert parse_avif_base_q_idx(b"nonsense") is None
