@@ -46,6 +46,11 @@ def main(argv=None):
                          "quantizer index)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
+    ap.add_argument("--solver", default="ddrm", choices=["ddrm", "gaussian_mixture"],
+                    help="ddrm = codec-consistency sampler (production); "
+                         "gaussian_mixture = the reference's experimental "
+                         "two-component solver with SVD structure guidance "
+                         "(new_method.ipynb)")
     ap.add_argument("--random-init", action="store_true",
                     help="skip checkpoint loading (smoke tests)")
     ap.add_argument("--use-ema", action="store_true",
@@ -127,6 +132,20 @@ def main(argv=None):
 
     def make_restore_batch(quality: int):
         init_t = init_timestep_for_quality(quality, args.steps, preset)
+
+        if args.solver == "gaussian_mixture":
+            from ddpm_image_restoration_tpu.diffusion.gaussian_mixture import (
+                GaussianMixtureSampler,
+            )
+
+            gm = GaussianMixtureSampler(model, preset)
+
+            def restore_batch(batch: np.ndarray) -> np.ndarray:
+                return np.asarray(
+                    gm.sample({"params": params}, jnp.asarray(batch), steps=init_t)
+                )
+
+            return restore_batch
 
         def restore_batch(batch: np.ndarray) -> np.ndarray:
             return np.asarray(
