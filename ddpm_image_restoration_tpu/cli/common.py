@@ -74,6 +74,7 @@ def train_config_from(args) -> TrainConfig:
         checkpoint_dir=args.checkpoint_dir,
         consistency_mode=args.consistency,
         ema_decay=getattr(args, "ema_decay", 0.0),
+        fsdp=getattr(args, "fsdp", False),
     )
 
 

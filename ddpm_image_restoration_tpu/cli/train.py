@@ -24,6 +24,10 @@ def main(argv=None):
                     choices=["waves", "dead_leaves", "mixed"],
                     help="synthetic generator (dead_leaves = natural-image-"
                          "statistics proxy: occluding power-law disks)")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard params/optimizer/EMA over the data axis "
+                         "(FSDP/ZeRO-3 style; XLA all-gathers + "
+                         "reduce-scatters)")
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="EMA of params for validation/serving (e.g. 0.999); "
                          "0 = off (reference behaviour)")

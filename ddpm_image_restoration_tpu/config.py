@@ -219,6 +219,9 @@ class TrainConfig:
     # parallelism
     mesh_shape: Tuple[int, ...] = (-1,)        # data-parallel over all chips by default
     mesh_axes: Tuple[str, ...] = ("data",)
+    # FSDP/ZeRO-3-style: shard params + optimizer + EMA over the 'data' axis
+    # (XLA all-gathers for compute, reduce-scatters gradients)
+    fsdp: bool = False
 
     @property
     def preset(self) -> CodecPreset:

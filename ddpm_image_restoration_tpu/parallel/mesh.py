@@ -68,33 +68,54 @@ def _kernel_spec(path_leaf: str, shape, model_size: int) -> P:
     return P()
 
 
-def param_shardings(params, mesh: Mesh):
+def _fsdp_spec(shape, spec: P, data_size: int) -> P:
+    """Add 'data'-axis sharding to a param spec (FSDP / ZeRO-3 style): shard
+    the largest still-unsharded axis that divides the data-axis size. XLA
+    all-gathers the shard for compute and reduce-scatters the gradient —
+    parameter and optimizer memory drop ~data_size-fold."""
+    specs = list(spec) + [None] * (len(shape) - len(spec))
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if specs[i] is None and shape[i] % data_size == 0 and shape[i] >= 2 * data_size:
+            specs[i] = "data"
+            break
+    return P(*specs)
+
+
+def param_shardings(params, mesh: Mesh, fsdp: bool = False):
     """A pytree of NamedShardings for the params (and, by structure, any
-    optimizer moments shaped like them)."""
-    if "model" not in mesh.axis_names:
-        return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
-    msize = mesh.shape["model"]
+    optimizer moments shaped like them). `fsdp` additionally shards each
+    large param over the 'data' axis (see `_fsdp_spec`)."""
+    msize = mesh.shape["model"] if "model" in mesh.axis_names else 0
+    dsize = mesh.shape["data"] if fsdp and "data" in mesh.axis_names else 0
 
     def spec_for(x):
-        return NamedSharding(mesh, _kernel_spec("", x.shape, msize))
+        spec = _kernel_spec("", x.shape, msize) if msize else P()
+        if dsize > 1:
+            spec = _fsdp_spec(x.shape, spec, dsize)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map(spec_for, params)
 
 
-def state_shardings(state, mesh: Mesh):
+def state_shardings(state, mesh: Mesh, fsdp: bool = False):
     """Shardings for a flax TrainState: params/opt-state follow
     param_shardings (optimizer moments mirror param shapes), scalars replicate."""
-    p_sh = param_shardings(state.params, mesh)
+    p_sh = param_shardings(state.params, mesh, fsdp=fsdp)
+    msize = mesh.shape["model"] if "model" in mesh.axis_names else 0
+    dsize = mesh.shape["data"] if fsdp and "data" in mesh.axis_names else 0
 
     def assign(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and "model" in mesh.axis_names:
-            return NamedSharding(mesh, _kernel_spec("", x.shape, mesh.shape["model"]))
-        return replicated(mesh)
+        if not (hasattr(x, "shape") and x.ndim >= 1):
+            return replicated(mesh)
+        spec = _kernel_spec("", x.shape, msize) if msize else P()
+        if dsize > 1:
+            spec = _fsdp_spec(x.shape, spec, dsize)
+        return NamedSharding(mesh, spec)
 
     extra = {}
     ema = getattr(state, "ema_params", None)
     if ema is not None:  # EMA mirrors the param shapes, shard identically
-        extra["ema_params"] = param_shardings(ema, mesh)
+        extra["ema_params"] = param_shardings(ema, mesh, fsdp=fsdp)
     return state.replace(
         step=replicated(mesh),
         params=p_sh,
@@ -103,11 +124,12 @@ def state_shardings(state, mesh: Mesh):
     )
 
 
-def shard_train_step(train_step, mesh: Mesh, state):
+def shard_train_step(train_step, mesh: Mesh, state, fsdp: bool = False):
     """Jit a train_step(state, batch, rng) over the mesh: batch data-sharded,
     state sharded per `state_shardings`, rng replicated. XLA inserts the
-    gradient all-reduce over 'data' and any 'model'-axis collectives."""
-    st_sh = state_shardings(state, mesh)
+    gradient all-reduce over 'data' and any 'model'-axis collectives (with
+    `fsdp`: param all-gathers + gradient reduce-scatters instead)."""
+    st_sh = state_shardings(state, mesh, fsdp=fsdp)
     b_sh = batch_sharding(mesh)
     return jax.jit(
         train_step,
@@ -123,8 +145,8 @@ def put_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def put_state(state, mesh: Mesh):
-    sh = state_shardings(state, mesh)
+def put_state(state, mesh: Mesh, fsdp: bool = False):
+    sh = state_shardings(state, mesh, fsdp=fsdp)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, sh,
         is_leaf=lambda x: hasattr(x, "shape"),

@@ -115,8 +115,9 @@ def train_model(
         mesh = make_mesh((dp,), ("data",))
     else:
         mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    train_step = shard_train_step(make_train_step(model, cfg), mesh, state)
-    state = put_state(state, mesh)
+    train_step = shard_train_step(make_train_step(model, cfg), mesh, state,
+                                  fsdp=cfg.fsdp)
+    state = put_state(state, mesh, fsdp=cfg.fsdp)
 
     ckpt = CheckpointManager(cfg.checkpoint_dir)
     start_epoch = 0

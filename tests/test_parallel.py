@@ -91,6 +91,38 @@ def test_dp_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_fsdp_matches_single_device(rng):
+    """FSDP param sharding over the data axis: numerics match the
+    single-device step, and large params are actually sharded on 'data'
+    (alone and combined with the model axis, and with EMA)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), ema_decay=0.9)
+    model = build_model(cfg.codec, cfg.model)
+    step_fn = make_train_step(model, cfg)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(3)
+    state0 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    s_single, m_single = jax.jit(step_fn)(state0, batch, key)
+
+    for shape, axes in [((-1,), ("data",)), ((4, 2), ("data", "model"))]:
+        mesh = make_mesh(shape, axes)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        pstep = shard_train_step(step_fn, mesh, state, fsdp=True)
+        s, m = pstep(put_state(state, mesh, fsdp=True), put_batch(batch, mesh), key)
+        assert float(m["loss"]) == pytest.approx(float(m_single["loss"]), rel=1e-4)
+        a = jax.tree_util.tree_leaves(s_single.params)[0]
+        b = jax.tree_util.tree_leaves(s.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # some large kernels (params AND adam moments AND ema) shard on 'data'
+        for tree in (s.params, s.opt_state, s.ema_params):
+            sharded = [
+                l for l in jax.tree_util.tree_leaves(tree)
+                if hasattr(l, "sharding") and "data" in (l.sharding.spec or ())
+            ]
+            assert len(sharded) > 0
+
+
 def test_sharded_step_with_ema(rng):
     """ema_params must flow through shard_train_step (sharded like params)
     on both 1-D and 2-D meshes."""
