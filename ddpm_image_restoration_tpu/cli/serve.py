@@ -113,22 +113,35 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
     served = 0
 
-    while True:
-        files = sorted(
+    def scan(exclude):
+        return sorted(
             f for f in os.listdir(args.watch)
             if f.lower().endswith(_EXTS)
+            and f not in exclude
             and os.path.isfile(os.path.join(args.watch, f))
         )
-        if not files:
-            if args.once:
-                break
-            time.sleep(args.poll_seconds)
-            continue
-        batch_files = files[: args.batch_size]
-        n = len(batch_files)
-        key, sub = jax.random.split(key)
-        if args.size_mode == "tile":
-            from ddpm_image_restoration_tpu.utils.tiling import restore_tiled
+
+    def finish(batch_files, out):
+        nonlocal served
+        for f, img in zip(batch_files, out):
+            _save(os.path.join(args.output_dir,
+                               os.path.splitext(f)[0] + "_restored.png"), img)
+            os.replace(os.path.join(args.watch, f), os.path.join(done_dir, f))
+        served += len(batch_files)
+        print(f"restored {len(batch_files)} images (total {served})", flush=True)
+
+    if args.size_mode == "tile":
+        from ddpm_image_restoration_tpu.utils.tiling import restore_tiled
+
+        while True:
+            files = scan(())
+            if not files:
+                if args.once:
+                    break
+                time.sleep(args.poll_seconds)
+                continue
+            batch_files = files[: args.batch_size]
+            key, sub = jax.random.split(key)
 
             def restore_fixed(batch: np.ndarray) -> np.ndarray:
                 return np.asarray(
@@ -138,31 +151,50 @@ def main(argv=None):
                                    decoder_reuse_depth=args.decoder_reuse_depth)
                 )
 
-            out = [
+            finish(batch_files, [
                 restore_tiled(restore_fixed, _load(os.path.join(args.watch, f), None),
                               mcfg.image_size, overlap=args.tile_overlap,
                               batch_size=args.batch_size)
                 for f in batch_files
-            ]
-        else:
-            imgs = np.stack([_load(os.path.join(args.watch, f), mcfg.image_size)
-                             for f in batch_files])
-            # pad to the compiled batch size so one executable serves every request
-            if n < args.batch_size:
-                imgs = np.concatenate(
-                    [imgs, np.zeros((args.batch_size - n, *imgs.shape[1:]), np.float32)]
-                )
-            out = np.asarray(
-                sampler.sample(params, jnp.asarray(imgs), args.quality, init_t,
-                               key=sub, stride=args.stride,
-                               encoder_reuse=args.encoder_reuse,
-                               decoder_reuse_depth=args.decoder_reuse_depth)
-            )[:n]
-        for f, img in zip(batch_files, out):
-            _save(os.path.join(args.output_dir, os.path.splitext(f)[0] + "_restored.png"), img)
-            os.replace(os.path.join(args.watch, f), os.path.join(done_dir, f))
-        served += n
-        print(f"restored {n} images (total {served})", flush=True)
+            ])
+        print(f"done; served {served} images", flush=True)
+        return
+
+    def dispatch(batch_files):
+        """Enqueue one fixed-shape restore WITHOUT syncing: JAX dispatch is
+        async, so the device crunches this batch while the host loads the
+        next one (pipelined serving — per-batch sync costs ~14% on a
+        tunneled chip, see docs/ROADMAP.md)."""
+        nonlocal key
+        n = len(batch_files)
+        imgs = np.stack([_load(os.path.join(args.watch, f), mcfg.image_size)
+                         for f in batch_files])
+        # pad to the compiled batch size so one executable serves every request
+        if n < args.batch_size:
+            imgs = np.concatenate(
+                [imgs, np.zeros((args.batch_size - n, *imgs.shape[1:]), np.float32)]
+            )
+        key, sub = jax.random.split(key)
+        out = sampler.sample(params, jnp.asarray(imgs), args.quality, init_t,
+                             key=sub, stride=args.stride,
+                             encoder_reuse=args.encoder_reuse,
+                             decoder_reuse_depth=args.decoder_reuse_depth)
+        return batch_files, n, out
+
+    in_flight = None
+    while True:
+        exclude = set(in_flight[0]) if in_flight else ()
+        files = scan(exclude)
+        if not files and in_flight is None:
+            if args.once:
+                break
+            time.sleep(args.poll_seconds)
+            continue
+        next_flight = dispatch(files[: args.batch_size]) if files else None
+        if in_flight is not None:
+            batch_files, n, out = in_flight
+            finish(batch_files, np.asarray(out)[:n])
+        in_flight = next_flight
 
     print(f"done; served {served} images", flush=True)
 
