@@ -49,7 +49,12 @@ def main(argv=None):
     ap.add_argument("--processed-dir", default=None,
                     help="move processed inputs here (default <watch>/done)")
     ap.add_argument("--checkpoint-dir", default="./checkpoints")
-    ap.add_argument("--quality", type=int, default=30)
+    ap.add_argument("--quality", default="30",
+                    help="quality the inputs were compressed at, or 'auto': "
+                         "estimate per file from the bitstream "
+                         "(codecs/estimate.py), take the batch median, and "
+                         "snap to {10,30,50,70,90} so the sampler compiles "
+                         "at most five signatures")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--encoder-reuse", type=int, default=1,
@@ -105,7 +110,22 @@ def main(argv=None):
                          "(train with --ema-decay > 0)")
 
     sampler = DDRMSampler(model, preset)
-    init_t = init_timestep_for_quality(args.quality, args.steps, preset)
+    _BUCKETS = (10, 30, 50, 70, 90)
+
+    def quality_for(batch_paths):
+        """Batch quality + start step: fixed, or 'auto' from the bitstreams."""
+        if args.quality != "auto":
+            q = int(args.quality)
+        else:
+            from ddpm_image_restoration_tpu.codecs.estimate import estimate_quality
+
+            ests = [estimate_quality(p) for p in batch_paths]
+            ests = [e for e in ests if e is not None] or [30]
+            med = float(np.median(ests))
+            q = min(_BUCKETS, key=lambda b: abs(b - med))
+            print(f"auto quality: estimates {ests} -> bucket {q}", flush=True)
+        return q, init_timestep_for_quality(q, args.steps, preset)
+
     params = {"params": serve_params}
     os.makedirs(args.output_dir, exist_ok=True)
     done_dir = args.processed_dir or os.path.join(args.watch, "done")
@@ -142,11 +162,12 @@ def main(argv=None):
                 continue
             batch_files = files[: args.batch_size]
             key, sub = jax.random.split(key)
+            q, it = quality_for([os.path.join(args.watch, f) for f in batch_files])
 
             def restore_fixed(batch: np.ndarray) -> np.ndarray:
                 return np.asarray(
-                    sampler.sample(params, jnp.asarray(batch), args.quality,
-                                   init_t, key=sub, stride=args.stride,
+                    sampler.sample(params, jnp.asarray(batch), q,
+                                   it, key=sub, stride=args.stride,
                                    encoder_reuse=args.encoder_reuse,
                                    decoder_reuse_depth=args.decoder_reuse_depth)
                 )
@@ -175,7 +196,8 @@ def main(argv=None):
                 [imgs, np.zeros((args.batch_size - n, *imgs.shape[1:]), np.float32)]
             )
         key, sub = jax.random.split(key)
-        out = sampler.sample(params, jnp.asarray(imgs), args.quality, init_t,
+        q, it = quality_for([os.path.join(args.watch, f) for f in batch_files])
+        out = sampler.sample(params, jnp.asarray(imgs), q, it,
                              key=sub, stride=args.stride,
                              encoder_reuse=args.encoder_reuse,
                              decoder_reuse_depth=args.decoder_reuse_depth)
