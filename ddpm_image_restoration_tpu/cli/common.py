@@ -75,6 +75,8 @@ def train_config_from(args) -> TrainConfig:
         consistency_mode=args.consistency,
         ema_decay=getattr(args, "ema_decay", 0.0),
         fsdp=getattr(args, "fsdp", False),
+        data_workers=getattr(args, "data_workers", 4),
+        cache_decoded=not getattr(args, "no_cache_decoded", False),
     )
 
 

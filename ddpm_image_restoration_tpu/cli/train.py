@@ -16,6 +16,12 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=0, help="0 = codec preset default")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data-dir", default="./ILSVRC2012_img_val")
+    ap.add_argument("--data-workers", type=int, default=4,
+                    help="batch-producer threads for decode+degrade (the "
+                         "batch stream is identical for any count)")
+    ap.add_argument("--no-cache-decoded", action="store_true",
+                    help="disable the decoded-image RAM cache (uint8 at "
+                         "image_size; 64^2 x 50k images ~ 0.6 GB)")
     ap.add_argument("--checkpoint-dir", default="./checkpoints")
     ap.add_argument("--consistency", default="surrogate", choices=["surrogate", "callback", "host_loop"])
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",

@@ -222,6 +222,11 @@ class TrainConfig:
     # FSDP/ZeRO-3-style: shard params + optimizer + EMA over the 'data' axis
     # (XLA all-gathers for compute, reduce-scatters gradients)
     fsdp: bool = False
+    # host input pipeline: batch-producer threads (>1 = thread pool; batch
+    # stream is identical for any count) and decoded-image RAM cache
+    # (uint8, so 64^2 over ImageNet-val's 50k images is ~0.6 GB)
+    data_workers: int = 4
+    cache_decoded: bool = True
 
     @property
     def preset(self) -> CodecPreset:

@@ -24,28 +24,51 @@ _EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
 
 class ImageFolderDataset:
-    """Flat-directory image dataset -> [-1,1] float32 NHWC samples."""
+    """Directory image dataset -> [-1,1] float32 NHWC samples.
 
-    def __init__(self, root: str, image_size: int = 64):
+    Scans recursively (sorted by full path, deterministic), so both the
+    reference's flat ImageNet-val layout (webp_training.py:32-51) and the
+    class-subdirectory ImageNet-train layout work unchanged.
+
+    ``cache_decoded=True`` keeps the decoded+resized images in host RAM as
+    uint8 (s*s*3 bytes per image: 64^2 over ImageNet-val's 50k images is
+    ~0.6 GB) so epochs after the first pay zero decode cost — at 64^2 the
+    decode of a full-resolution source JPEG dominates the whole input
+    pipeline. The uint8->float conversion is exactly the uncached math.
+    """
+
+    def __init__(self, root: str, image_size: int = 64,
+                 cache_decoded: bool = False):
         self.root = root
         self.image_size = image_size
         self.files = sorted(
-            os.path.join(root, f)
-            for f in os.listdir(root)
+            os.path.join(dirpath, f)
+            for dirpath, _, filenames in os.walk(root)
+            for f in filenames
             if f.lower().endswith(_EXTENSIONS)
         )
         if not self.files:
             raise ValueError(f"no images found under {root!r}")
+        self._cache: list = [None] * len(self.files) if cache_decoded else None
 
     def __len__(self) -> int:
         return len(self.files)
 
-    def __getitem__(self, idx: int) -> np.ndarray:
+    def _decode(self, idx: int) -> np.ndarray:
         img = Image.open(self.files[idx]).convert("RGB")
         s = self.image_size
         img = img.resize((s, s), Image.BILINEAR)
-        arr = np.asarray(img, dtype=np.float32) / 255.0
-        return arr * 2.0 - 1.0
+        return np.asarray(img, dtype=np.uint8)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if self._cache is not None:
+            arr = self._cache[idx]
+            if arr is None:
+                arr = self._decode(idx)
+                self._cache[idx] = arr  # GIL-atomic list store: thread-safe
+        else:
+            arr = self._decode(idx)
+        return np.asarray(arr, dtype=np.float32) / 255.0 * 2.0 - 1.0
 
 
 class SyntheticImageDataset:

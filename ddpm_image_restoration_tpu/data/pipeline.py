@@ -3,16 +3,23 @@
 TPU-native role: the reference degrades images *inside* the GPU training loop
 with a per-image Python codec loop (webp_training.py:499-508), serialising the
 device against libwebp. Here degradation is part of the host input pipeline:
-a background producer thread assembles batches (threaded codec pool inside),
+background producer threads assemble batches (threaded codec pool inside),
 double-buffered in a queue, so codec work overlaps device compute. For
 multi-host SPMD each host builds a loader over its own shard of the index
 space (`host_id` / `num_hosts`).
+
+Batch content is a pure function of (seed, epoch, batch index) — each batch
+draws from its own derived RNG stream — so the stream is identical whether
+batches are produced serially or by ``num_workers`` threads, and a resumed
+run sees exactly the data a crash-free run would have.
 """
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
@@ -48,6 +55,7 @@ class DegradationLoader:
         prefetch: int = 2,
         drop_remainder: bool = True,
         degradation_backend: str = "pil",
+        num_workers: int = 0,
     ):
         """degradation_backend:
         'pil'              — real codec bitstreams via libjpeg/libwebp/libaom
@@ -55,6 +63,15 @@ class DegradationLoader:
         'native_surrogate' — the C++ codec engine (native/codec_engine.cpp):
                              faster, and numerically consistent with the
                              on-device in-sampler consistency step.
+
+        num_workers: batch-producer threads. 0/1 = one background producer
+        (always at least one: device compute never waits on the host codec
+        when it can help it). N>1 = a thread pool decoding + degrading N
+        batches concurrently — PIL decode and the codec roundtrips release
+        the GIL, so this scales real-dataset ingest (full-resolution source
+        JPEGs decode at ~5-10 ms each, which serially caps a 64^2 TPU train
+        step that finishes in a fraction of that). Batch content is
+        identical for any worker count.
         """
         self.dataset = dataset
         self.indices = np.asarray(indices)[host_id::num_hosts]
@@ -67,13 +84,17 @@ class DegradationLoader:
         if degradation_backend not in ("pil", "native_surrogate"):
             raise ValueError(degradation_backend)
         self.degradation_backend = degradation_backend
+        self.num_workers = num_workers
 
     def steps_per_epoch(self) -> int:
         if self.drop_remainder:
             return len(self.indices) // self.batch_size
         return -(-len(self.indices) // self.batch_size)
 
-    def _make_batch(self, rng: np.random.Generator, idxs, epoch: int) -> Dict:
+    def _make_batch(self, idxs, epoch: int, batch_idx: int) -> Dict:
+        # Own RNG stream per (seed, epoch, batch): deterministic and
+        # order-independent, so parallel workers produce the serial stream.
+        rng = np.random.default_rng((self.seed, epoch, batch_idx))
         x0 = np.stack([self.dataset[int(i)] for i in idxs])
         qr = sample_quality_range(rng, epoch, self.preset)
         t = rng.integers(1, self.steps, size=len(idxs))
@@ -94,20 +115,27 @@ class DegradationLoader:
             "quality": quality.astype(np.int32),
         }
 
+    def _batch_indices(self, epoch: int):
+        order = np.random.default_rng((self.seed, epoch)).permutation(len(self.indices))
+        return [
+            self.indices[order[b * self.batch_size : (b + 1) * self.batch_size]]
+            for b in range(self.steps_per_epoch())
+        ]
+
     def epoch(self, epoch: int) -> Iterator[Dict]:
-        """Background-producer iterator over one epoch's batches."""
-        rng = np.random.default_rng((self.seed, epoch))
-        order = rng.permutation(len(self.indices))
-        n_batches = self.steps_per_epoch()
+        """Background-producer iterator over one epoch's batches (in order)."""
+        batches = self._batch_indices(epoch)
+        if self.num_workers > 1:
+            yield from self._epoch_pooled(batches, epoch)
+            return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
 
         def produce():
             try:
-                for b in range(n_batches):
-                    idxs = self.indices[order[b * self.batch_size : (b + 1) * self.batch_size]]
-                    q.put(self._make_batch(rng, idxs, epoch))
+                for b, idxs in enumerate(batches):
+                    q.put(self._make_batch(idxs, epoch, b))
             except BaseException as e:  # surface producer errors to the consumer
                 q.put(e)
             finally:
@@ -122,6 +150,30 @@ class DegradationLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def _epoch_pooled(self, batches, epoch: int) -> Iterator[Dict]:
+        """num_workers>1: a sliding window of in-flight batch futures.
+
+        The window (workers + prefetch) bounds host memory the same way the
+        single-producer queue does; results are consumed strictly in batch
+        order, which the per-batch RNG streams make identical to serial.
+        """
+        window = self.num_workers + self.prefetch
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures: "collections.deque" = collections.deque()
+            it = enumerate(batches)
+
+            def submit_next():
+                for b, idxs in it:
+                    futures.append(pool.submit(self._make_batch, idxs, epoch, b))
+                    return
+
+            for _ in range(window):
+                submit_next()
+            while futures:
+                batch = futures.popleft().result()
+                submit_next()
+                yield batch
 
     def eval_batches(self, batch_size: Optional[int] = None) -> Iterator[np.ndarray]:
         """Deterministic clean-image batches (for validation/eval harness)."""

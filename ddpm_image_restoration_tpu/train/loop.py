@@ -89,7 +89,9 @@ def train_model(
 
     if dataset is None:
         if os.path.isdir(cfg.data_dir):
-            dataset = ImageFolderDataset(cfg.data_dir, cfg.model.image_size)
+            dataset = ImageFolderDataset(
+                cfg.data_dir, cfg.model.image_size, cache_decoded=cfg.cache_decoded
+            )
         else:
             dataset = SyntheticImageDataset(256, cfg.model.image_size)
 
@@ -97,7 +99,8 @@ def train_model(
         len(dataset), cfg.split_fracs, cfg.split_seed
     )
     loader = DegradationLoader(
-        dataset, train_idx, preset, cfg.effective_batch_size, cfg.steps, seed=cfg.seed
+        dataset, train_idx, preset, cfg.effective_batch_size, cfg.steps,
+        seed=cfg.seed, num_workers=cfg.data_workers,
     )
     if len(val_idx) == 0:  # tiny datasets: fall back to training images
         val_idx = train_idx

@@ -39,6 +39,56 @@ def test_image_folder_empty(tmp_path):
         ImageFolderDataset(str(tmp_path))
 
 
+def test_image_folder_recursive_and_cache(tmp_path):
+    """Class-subdirectory layouts (ImageNet-train) scan recursively; the
+    decoded-image cache returns bit-identical samples to the uncached path."""
+    from PIL import Image
+
+    (tmp_path / "n01440764").mkdir()
+    (tmp_path / "n01443537").mkdir()
+    Image.new("RGB", (40, 20), (10, 100, 200)).save(tmp_path / "n01440764" / "a.jpg")
+    Image.new("RGB", (30, 30), (200, 50, 10)).save(tmp_path / "n01443537" / "b.png")
+    Image.new("RGB", (20, 20), (5, 5, 5)).save(tmp_path / "top.png")
+    ds = ImageFolderDataset(str(tmp_path), image_size=16)
+    assert len(ds) == 3
+    cached = ImageFolderDataset(str(tmp_path), image_size=16, cache_decoded=True)
+    for i in range(3):
+        np.testing.assert_array_equal(ds[i], cached[i])   # fills the cache
+        np.testing.assert_array_equal(ds[i], cached[i])   # serves from it
+    assert all(a is not None for a in cached._cache)
+
+
+def test_degradation_loader_parallel_matches_serial():
+    """num_workers>1 must yield the exact serial batch stream (per-batch
+    derived RNG): content, order, and all fields."""
+    ds = SyntheticImageDataset(24, 16)
+    mk = lambda w: DegradationLoader(
+        ds, np.arange(24), get_preset("jpeg"), batch_size=4, steps=100,
+        seed=7, num_workers=w,
+    )
+    serial = list(mk(0).epoch(3))
+    pooled = list(mk(4).epoch(3))
+    assert len(serial) == len(pooled) == 6
+    for a, b in zip(serial, pooled):
+        for k in ("x0", "xt", "t", "quality"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_degradation_loader_pooled_error_propagates():
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    loader = DegradationLoader(
+        Boom(), np.arange(8), get_preset("jpeg"), 4, num_workers=2
+    )
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader.epoch(0))
+
+
 def test_split_deterministic_and_disjoint():
     tr, va, te = split_indices(100, (0.8, 0.1, 0.1), seed=42)
     tr2, _, _ = split_indices(100, (0.8, 0.1, 0.1), seed=42)
