@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--prediction", default="direct", choices=["direct", "residual"])
     ap.add_argument("--stride", type=int, default=1,
                     help=">1 = reduced-step accelerated solver")
+    ap.add_argument("--max-evals", type=int, default=0,
+                    help="cap model evaluations per restore (stride derived "
+                         "from each quality's init_t; for ddpm-ir-distill "
+                         "checkpoints). Overrides --stride.")
     ap.add_argument("--encoder-reuse", type=int, default=1,
                     help="run the UNet encoder only every k-th model "
                          "evaluation, decoding from cached features between "
@@ -107,6 +111,7 @@ def main(argv=None):
                          encoder_reuse=args.encoder_reuse,
                          decoder_reuse_depth=args.decoder_reuse_depth,
                          ensemble=args.ensemble,
+                         max_evals=args.max_evals,
                          protect=tuple(args.protect) if args.protect else None)
 
 

@@ -58,6 +58,11 @@ def main(argv=None):
                          "trained with --ema-decay > 0")
     ap.add_argument("--stride", type=int, default=1,
                     help=">1 = reduced-step accelerated solver")
+    ap.add_argument("--max-evals", type=int, default=0,
+                    help="cap model evaluations per restore (derives the "
+                         "stride from each image's init_t; the natural "
+                         "setting for checkpoints from ddpm-ir-distill). "
+                         "Overrides --stride.")
     ap.add_argument("--encoder-reuse", type=int, default=1,
                     help="run the UNet encoder only every k-th model "
                          "evaluation, decoding from cached features between "
@@ -132,6 +137,10 @@ def main(argv=None):
 
     def make_restore_batch(quality: int):
         init_t = init_timestep_for_quality(quality, args.steps, preset)
+        if args.max_evals:
+            from ddpm_image_restoration_tpu.train.distill import student_stride
+
+            args.stride = student_stride(init_t, args.max_evals)
 
         if args.solver == "gaussian_mixture":
             from ddpm_image_restoration_tpu.diffusion.gaussian_mixture import (

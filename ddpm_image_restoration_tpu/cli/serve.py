@@ -57,6 +57,10 @@ def main(argv=None):
                          "at most five signatures")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--max-evals", type=int, default=0,
+                    help="cap model evaluations per restore (stride derived "
+                         "from init_t; for ddpm-ir-distill checkpoints). "
+                         "Overrides --stride.")
     ap.add_argument("--encoder-reuse", type=int, default=1,
                     help="run the UNet encoder only every k-th model "
                          "evaluation, decoding from cached features between "
@@ -126,6 +130,13 @@ def main(argv=None):
             print(f"auto quality: estimates {ests} -> bucket {q}", flush=True)
         return q, init_timestep_for_quality(q, args.steps, preset)
 
+    def stride_for(init_t: int) -> int:
+        if args.max_evals:
+            from ddpm_image_restoration_tpu.train.distill import student_stride
+
+            return student_stride(init_t, args.max_evals)
+        return args.stride
+
     params = {"params": serve_params}
     os.makedirs(args.output_dir, exist_ok=True)
     done_dir = args.processed_dir or os.path.join(args.watch, "done")
@@ -167,7 +178,7 @@ def main(argv=None):
             def restore_fixed(batch: np.ndarray) -> np.ndarray:
                 return np.asarray(
                     sampler.sample(params, jnp.asarray(batch), q,
-                                   it, key=sub, stride=args.stride,
+                                   it, key=sub, stride=stride_for(it),
                                    encoder_reuse=args.encoder_reuse,
                                    decoder_reuse_depth=args.decoder_reuse_depth)
                 )
@@ -198,7 +209,7 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         q, it = quality_for([os.path.join(args.watch, f) for f in batch_files])
         out = sampler.sample(params, jnp.asarray(imgs), q, it,
-                             key=sub, stride=args.stride,
+                             key=sub, stride=stride_for(it),
                              encoder_reuse=args.encoder_reuse,
                              decoder_reuse_depth=args.decoder_reuse_depth)
         return batch_files, n, out

@@ -108,11 +108,17 @@ def make_consistency_fn(
     raise ValueError(f"unknown consistency mode {mode!r}")
 
 
-def _ddrm_update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset):
+def _ddrm_update(x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset):
     """Post-consistency update — the reference's step algebra
     (webp_training.py:455-471) — shared by the lax.scan body and the
     host-loop execution shape so the two cannot drift. All conditions are
-    traced (`i` is the reverse-step index as a scalar array)."""
+    traced (`i` is the reverse-step index as a scalar array; `last` marks
+    the final solver step, whose output is the pure consistency projection
+    x'). For every index set ending at 0 this is exactly the reference's
+    `i == 0` final-step rule; making it positional is what allows a true
+    single-evaluation restore (stride >= steps — used by distilled
+    students, train/distill.py), which evaluates once at the degradation's
+    own t instead of t=0."""
     x_prime = x_theta - c + y
     noise = jax.random.normal(nkey, y.shape, jnp.float32)
     noise_scale = (t * preset.sampler_noise_scale)[:, None, None, None]
@@ -127,16 +133,24 @@ def _ddrm_update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset):
         lambda v: v,
         x_next,
     )
-    return jnp.where(i > 0, x_next, x_prime)
+    return jnp.where(last, x_prime, x_next)
 
 
 def _solver_indices(steps: int, stride: int) -> np.ndarray:
     """Static descending step indices (webp_training.py:437); stride > 1 =
-    reduced-step accelerated solver, always ending at 0."""
+    reduced-step accelerated solver, ending at 0 — except stride >= steps,
+    the single-evaluation budget, which keeps only the first index (one
+    model call at the degradation's t, then the consistency projection)."""
     host_idxs = np.arange(steps - 1, -1, -stride)
-    if host_idxs[-1] != 0:
+    if host_idxs[-1] != 0 and stride < steps:
         host_idxs = np.append(host_idxs, 0)
     return host_idxs
+
+
+def _last_flags(idxs: np.ndarray) -> np.ndarray:
+    flags = np.zeros(len(idxs), bool)
+    flags[-1] = True
+    return flags
 
 
 class DDRMSampler:
@@ -181,7 +195,9 @@ class DDRMSampler:
             b = y.shape[0]
             y = y.astype(jnp.float32)
             q_vec = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (b,))
-            idxs = jnp.asarray(_solver_indices(steps, stride))
+            idxs_host = _solver_indices(steps, stride)
+            idxs = jnp.asarray(idxs_host)
+            lasts = jnp.asarray(_last_flags(idxs_host))
 
             if encoder_reuse > 1:
                 # Encoder-propagation acceleration (arXiv:2312.09608): run
@@ -221,47 +237,54 @@ class DDRMSampler:
                         )
                     return model.apply(params, cached, t, t, method="decode")
 
-                def model_step(x_t, cached, i, nkey):
+                def model_step(x_t, cached, i, last, nkey):
                     t = jnp.full((b,), i, jnp.float32) / steps
                     x_theta = decode(cached, t).astype(jnp.float32)
                     if prediction == "residual":
                         x_theta = x_t + x_theta
                     c = consistency(x_theta, q_vec)
                     return _ddrm_update(
-                        x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset
+                        x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset
                     )
 
                 idxs_np = _solver_indices(steps, stride)
+                lasts_np = _last_flags(idxs_np)
                 n_groups = len(idxs_np) // encoder_reuse
                 main = idxs_np[: n_groups * encoder_reuse].reshape(
                     n_groups, encoder_reuse
                 )
+                main_last = lasts_np[: n_groups * encoder_reuse].reshape(
+                    n_groups, encoder_reuse
+                )
                 tail = idxs_np[n_groups * encoder_reuse:]
 
-                def group(carry, i_vec):
+                def group(carry, xs):
                     x_t, key = carry
+                    i_vec, last_vec = xs
                     t0 = jnp.full((b,), i_vec[0], jnp.float32) / steps
                     cached = group_features(encode(x_t, t0), t0)
                     for j in range(encoder_reuse):  # static unroll
                         key, nkey = jax.random.split(key)
-                        x_t = model_step(x_t, cached, i_vec[j], nkey)
+                        x_t = model_step(x_t, cached, i_vec[j], last_vec[j], nkey)
                     return (x_t, key), None
 
                 x_t = y
                 if n_groups:
                     (x_t, key), _ = jax.lax.scan(
-                        group, (x_t, key), jnp.asarray(main)
+                        group, (x_t, key), (jnp.asarray(main), jnp.asarray(main_last))
                     )
                 if len(tail):  # leftover steps: one more encode, then reuse
                     t0 = jnp.full((b,), int(tail[0]), jnp.float32) / steps
                     cached = group_features(encode(x_t, t0), t0)
-                    for i in tail:
+                    for p, i in enumerate(tail):
                         key, nkey = jax.random.split(key)
-                        x_t = model_step(x_t, cached, jnp.asarray(int(i)), nkey)
+                        last = jnp.asarray(p == len(tail) - 1)
+                        x_t = model_step(x_t, cached, jnp.asarray(int(i)), last, nkey)
                 return x_t
 
-            def step(carry, i):
+            def step(carry, xs):
                 x_t, key = carry
+                i, last = xs
                 key, nkey = jax.random.split(key)
                 t = jnp.full((b,), i, jnp.float32) / steps
 
@@ -271,11 +294,11 @@ class DDRMSampler:
 
                 c = consistency(x_theta, q_vec)
                 x_t = _ddrm_update(
-                    x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset
+                    x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset
                 )
                 return (x_t, key), None
 
-            (x_final, _), _ = jax.lax.scan(step, (y, key), idxs)
+            (x_final, _), _ = jax.lax.scan(step, (y, key), (idxs, lasts))
             return x_final
 
         return run
@@ -307,8 +330,10 @@ class DDRMSampler:
             return x_theta
 
         @jax.jit
-        def update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b):
-            return _ddrm_update(x_theta, c, y, nkey, i, t, q_vec, eta, eta_b, preset)
+        def update(x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b):
+            return _ddrm_update(
+                x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset
+            )
 
         ddepth = decoder_reuse_depth
 
@@ -344,7 +369,8 @@ class DDRMSampler:
             q_host = np.broadcast_to(np.asarray(quality), (b,))
             x_t = y
             feats = None
-            for p_, i in enumerate(_solver_indices(steps, stride)):
+            idxs_host = _solver_indices(steps, stride)
+            for p_, i in enumerate(idxs_host):
                 key, nkey = jax.random.split(key)
                 t = jnp.full((b,), i, jnp.float32) / steps
                 if encoder_reuse > 1:
@@ -358,11 +384,21 @@ class DDRMSampler:
                     jnp.float32,
                 )
                 x_t = update(
-                    x_theta, c, y, nkey, jnp.asarray(i), t, q_vec, eta, eta_b
+                    x_theta, c, y, nkey, jnp.asarray(i),
+                    jnp.asarray(p_ == len(idxs_host) - 1), t, q_vec, eta, eta_b,
                 )
             return x_t
 
         return run
+
+    def build_run(self, steps: int, stride: int = 1):
+        """The raw jitted solver fn(params, y, quality, key, eta, eta_b) for a
+        static (steps, stride) — differentiable end-to-end in 'surrogate'
+        mode. Used by solver distillation (train/distill.py), which trains a
+        student *through* the sampler at high stride."""
+        if self.consistency_mode == "host_loop":
+            raise ValueError("build_run requires an on-device consistency mode")
+        return self._build(steps, stride)
 
     def sample(
         self,

@@ -67,6 +67,7 @@ def evaluate_restoration(
     encoder_reuse: int = 1,
     decoder_reuse_depth: int = 0,
     ensemble: int = 1,
+    max_evals: int = 0,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -88,6 +89,10 @@ def evaluate_restoration(
     for quality in cfg.eval_qualities:
         acc: Dict[str, List[float]] = defaultdict(list)
         init_t = init_timestep_for_quality(quality, cfg.steps, preset)
+        if max_evals:  # distilled-student budget: stride derived per quality
+            from ddpm_image_restoration_tpu.train.distill import student_stride
+
+            stride = student_stride(init_t, max_evals)
         comp_all, rest_all = [], []
         t_start = time.time()
         n_restored = 0

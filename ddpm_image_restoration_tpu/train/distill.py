@@ -1,0 +1,255 @@
+"""Solver distillation: compress the multi-step DDRM restore into few evals.
+
+Not in the reference — its fastest path is the full step-for-step solver
+(webp_training.py:437-471, one model call per reverse step). This module is
+the framework's production-serving acceleration beyond the stride/reuse
+levers: a student initialised from a trained teacher checkpoint learns, per
+quality bucket, to reproduce the teacher's full-solver restoration in
+``n_eval`` model evaluations (n_eval=1 is a single UNet pass followed by one
+codec-consistency projection).
+
+The student keeps the exact DDRMSampler execution shape — it is trained
+*through* the sampler with stride = ceil(init_t / n_eval) — so every
+downstream surface works unchanged: a distilled checkpoint is an ordinary
+checkpoint whose weights are good at very high stride, loaded by the
+restore/serve/evaluate CLIs with ``--max-evals n`` (which just picks that
+stride).
+
+TPU-native design:
+  * teacher trajectory + student k-step solve + loss + optimizer update are
+    ONE jitted program per quality bucket (init_t is the static scan
+    length); no host round-trips inside the step.
+  * the teacher runs under stop_gradient; gradients flow through at most
+    ``n_eval`` UNet evaluations and the differentiable codec surrogate
+    (straight-through rounding), so peak memory stays modest.
+  * distillation qualities round-robin per step on the host; each bucket's
+    program is compiled once and cached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
+from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality
+from ddpm_image_restoration_tpu.config import TrainConfig
+from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+from ddpm_image_restoration_tpu.diffusion.losses import loss_for_preset
+from ddpm_image_restoration_tpu.train.steps import TrainState, make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    """Distillation hyper-parameters on top of a TrainConfig."""
+
+    teacher_dir: str = "./checkpoints"         # trained teacher checkpoints
+    n_eval: int = 1                            # student model evaluations
+    teacher_stride: int = 1                    # 1 = full-solver teacher
+    qualities: Tuple[int, ...] = ()            # () = preset.val_qualities
+    # weight of the ground-truth term: loss = loss(student, teacher)
+    # + gt_weight * loss(student, x0). Anchors the student to the clean
+    # image so it cannot inherit teacher artifacts wholesale.
+    gt_weight: float = 0.3
+
+
+def student_stride(init_t: int, n_eval: int) -> int:
+    """The solver stride that makes `sample(steps=init_t)` run n_eval model
+    evaluations (see diffusion/ddrm.py _solver_indices: descending from
+    init_t-1 by `stride`, always ending at 0)."""
+    if n_eval >= init_t:
+        return 1
+    # len(range(init_t-1, -1, -s)) == ceil(init_t / s); find the smallest
+    # s whose count (plus the appended 0 when missed) is <= n_eval
+    for s in range(math.ceil(init_t / n_eval), init_t + 1):
+        idxs = np.arange(init_t - 1, -1, -s)
+        n = len(idxs) + (idxs[-1] != 0)
+        if n <= n_eval:
+            return int(s)
+    return int(init_t)
+
+
+def make_distill_step(model, cfg: TrainConfig, dcfg: DistillConfig, quality: int):
+    """One jitted distillation step for a fixed quality bucket.
+
+    Returns step(state, teacher_params, batch, rng) -> (state, metrics) where
+    batch = {"x0": clean, "xt": codec(x0, quality)}.
+    """
+    preset = cfg.preset
+    init_t = init_timestep_for_quality(quality, cfg.steps, preset)
+    s_stride = student_stride(init_t, dcfg.n_eval)
+    sampler = DDRMSampler(model, preset, consistency_mode="surrogate")
+    teacher_run = sampler.build_run(init_t, dcfg.teacher_stride)
+    student_run = sampler.build_run(init_t, s_stride)
+    loss_fn = loss_for_preset(preset.loss_kind)
+    eta = jnp.float32(preset.eta)
+    eta_b = jnp.float32(preset.eta_b)
+    gt_w = float(dcfg.gt_weight)
+
+    @jax.jit
+    def step(state: TrainState, teacher_params, batch, rng: jax.Array):
+        y = batch["xt"].astype(jnp.float32)
+        x0 = batch["x0"].astype(jnp.float32)
+        k_teacher, k_student = jax.random.split(rng)
+        target = jax.lax.stop_gradient(
+            teacher_run({"params": teacher_params}, y, quality, k_teacher, eta, eta_b)
+        )
+
+        def compute_loss(params):
+            out = student_run({"params": params}, y, quality, k_student, eta, eta_b)
+            loss = loss_fn(out, target)
+            if gt_w:
+                loss = loss + gt_w * loss_fn(out, x0)
+            return loss
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if cfg.ema_decay > 0:
+            d = cfg.ema_decay
+            state = state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    state.ema_params,
+                    state.params,
+                )
+            )
+        return state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step, init_t, s_stride
+
+
+def distill_model(
+    cfg: TrainConfig,
+    dcfg: DistillConfig,
+    dataset=None,
+    epochs: Optional[int] = None,
+    val_batch: int = 4,
+    resume: bool = True,
+    verbose: bool = True,
+):
+    """End-to-end distillation. Returns (state, history).
+
+    Mirrors train_model's loop shape (train/loop.py) but: the student is
+    initialised FROM the teacher (params and, when enabled, EMA), batches
+    carry one quality bucket each (static init_t per compiled step), and
+    validation restores with the student's n_eval budget.
+    """
+    from ddpm_image_restoration_tpu.data import (
+        ImageFolderDataset,
+        SyntheticImageDataset,
+        split_indices,
+    )
+    from ddpm_image_restoration_tpu.models import build_model
+    from ddpm_image_restoration_tpu.train.checkpoint import CheckpointManager
+    from ddpm_image_restoration_tpu.train.loop import validate_by_restoration
+    from ddpm_image_restoration_tpu.utils.logging import MetricLogger
+
+    epochs = epochs or cfg.epochs
+    preset = cfg.preset
+    qualities = tuple(dcfg.qualities) or tuple(preset.val_qualities)
+
+    if dataset is None:
+        if os.path.isdir(cfg.data_dir):
+            dataset = ImageFolderDataset(
+                cfg.data_dir, cfg.model.image_size, cache_decoded=cfg.cache_decoded
+            )
+        else:
+            dataset = SyntheticImageDataset(256, cfg.model.image_size)
+    train_idx, val_idx, _ = split_indices(len(dataset), cfg.split_fracs, cfg.split_seed)
+    if len(val_idx) == 0:
+        val_idx = train_idx
+    val_images = np.stack([dataset[int(i)] for i in val_idx[:val_batch]])
+
+    model = build_model(cfg.codec, cfg.model)
+
+    # ---- teacher: best checkpoint (EMA weights when present) -------------
+    from ddpm_image_restoration_tpu.train.steps import create_train_state
+
+    teacher_mgr = CheckpointManager(dcfg.teacher_dir)
+    # template must mirror the training-time state structure (optimizer
+    # moments included) for Orbax's structure check
+    t_state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    restored = teacher_mgr.restore_best(t_state) or teacher_mgr.restore_latest(t_state)
+    if restored is None:
+        raise FileNotFoundError(f"no teacher checkpoint under {dcfg.teacher_dir!r}")
+    t_state, t_meta = restored
+    teacher_params = t_state.ema_params or t_state.params
+    if verbose:
+        which = "ema" if t_state.ema_params is not None else "raw"
+        print(f"teacher: {dcfg.teacher_dir} ({which} params) {t_meta}")
+
+    # ---- student: init from teacher --------------------------------------
+    batch_size = cfg.effective_batch_size
+    n_batches = max(1, len(train_idx) // batch_size)
+    tx = make_optimizer(cfg, steps_per_epoch=n_batches)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=jax.tree_util.tree_map(jnp.copy, teacher_params),
+        tx=tx,
+        ema_params=(
+            jax.tree_util.tree_map(jnp.copy, teacher_params)
+            if cfg.ema_decay > 0 else None
+        ),
+    )
+
+    steps = {}
+    for q in qualities:
+        steps[q], init_t, s_stride = make_distill_step(model, cfg, dcfg, q)
+        if verbose:
+            print(f"quality {q}: teacher {init_t} steps/stride "
+                  f"{dcfg.teacher_stride} -> student stride {s_stride} "
+                  f"({dcfg.n_eval} evals)")
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    start_epoch = 0
+    if resume:
+        r = ckpt.restore_latest(state)
+        if r is not None:
+            state, meta = r
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            if verbose:
+                print(f"resumed distillation from epoch {start_epoch - 1}")
+
+    logger = MetricLogger(cfg.checkpoint_dir)
+    sampler = DDRMSampler(model, preset, cfg.consistency_mode)
+    rng = jax.random.PRNGKey(cfg.seed + 2)
+    best_psnr = -float("inf")
+
+    for epoch in range(start_epoch, epochs):
+        t_start = time.time()
+        order = np.random.default_rng((cfg.seed, epoch, 17)).permutation(len(train_idx))
+        losses = []
+        for b in range(n_batches):
+            idxs = train_idx[order[b * batch_size : (b + 1) * batch_size]]
+            x0 = np.stack([dataset[int(i)] for i in idxs])
+            q = qualities[b % len(qualities)]
+            y = compress_batch(x0, preset.name, q)
+            rng, sub = jax.random.split(rng)
+            batch = {"x0": jnp.asarray(x0), "xt": jnp.asarray(y)}
+            state, metrics = steps[q](state, teacher_params, batch, sub)
+            losses.append(metrics["loss"])
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+        eval_params = state.params if state.ema_params is None else state.ema_params
+        val = validate_by_restoration(
+            model, eval_params, cfg, val_images, sampler, n_eval=dcfg.n_eval
+        )
+        epoch_time = time.time() - t_start
+        logger.log(epoch, loss=train_loss, epoch_time=epoch_time, **val)
+        if verbose:
+            print(logger.summary(epoch, prefix=f"{preset.name}-distill "))
+
+        if val["val_psnr"] > best_psnr or epoch % 10 == 0 or epoch == epochs - 1:
+            best_psnr = max(best_psnr, val["val_psnr"])
+            ckpt.save(epoch, state, {"epoch": epoch, **val})
+
+    ckpt.wait()
+    return state, logger.history

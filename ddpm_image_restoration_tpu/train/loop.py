@@ -55,9 +55,12 @@ def validate_by_restoration(
     val_images: np.ndarray,
     sampler: Optional[DDRMSampler] = None,
     key: Optional[jax.Array] = None,
+    n_eval: Optional[int] = None,
 ) -> Dict[str, float]:
     """Full-sampler validation at the preset's val qualities
-    (validate_ddrm_* webp_training.py:540-599)."""
+    (validate_ddrm_* webp_training.py:540-599). `n_eval` caps the model
+    evaluations per restore (distilled-student validation: the stride is
+    derived per quality, train/distill.py `student_stride`)."""
     preset = cfg.preset
     sampler = sampler or DDRMSampler(model, preset, cfg.consistency_mode)
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -67,8 +70,13 @@ def validate_by_restoration(
     for quality in preset.val_qualities:
         y = jnp.asarray(compress_batch(val_images, preset.name, quality))
         init_t = init_timestep_for_quality(quality, cfg.steps, preset)
+        stride = 1
+        if n_eval is not None:
+            from ddpm_image_restoration_tpu.train.distill import student_stride
+
+            stride = student_stride(init_t, n_eval)
         key, sub = jax.random.split(key)
-        restored = sampler.sample(wrapped, y, quality, init_t, key=sub)
+        restored = sampler.sample(wrapped, y, quality, init_t, key=sub, stride=stride)
         totals["psnr"] += float(psnr(restored, x0))
         totals["ssim"] += float(ssim_metric(restored, x0))
     n = len(preset.val_qualities)
