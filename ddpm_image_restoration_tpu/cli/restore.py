@@ -63,6 +63,11 @@ def main(argv=None):
                          "stride from each image's init_t; the natural "
                          "setting for checkpoints from ddpm-ir-distill). "
                          "Overrides --stride.")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel restoration over N devices (-1 = "
+                         "all): params replicated, batch sharded over the "
+                         "mesh's data axis (input batches are padded to a "
+                         "multiple of N)")
     ap.add_argument("--encoder-reuse", type=int, default=1,
                     help="run the UNet encoder only every k-th model "
                          "evaluation, decoding from cached features between "
@@ -115,6 +120,37 @@ def main(argv=None):
         raise SystemExit("--use-ema: checkpoint has no EMA params "
                          "(train with --ema-decay > 0)")
 
+    mesh = None
+    if args.dp:
+        from ddpm_image_restoration_tpu.parallel.mesh import make_mesh, replicated
+
+        n_dp = jax.device_count() if args.dp < 0 else min(args.dp, jax.device_count())
+        mesh = make_mesh((n_dp,), ("data",))
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh)), params
+        )
+        print(f"data-parallel restore over {n_dp} device(s)")
+
+    def with_dp(fn):
+        """Pad the batch to the mesh size, shard it, trim the output."""
+        if mesh is None:
+            return fn
+        from ddpm_image_restoration_tpu.parallel.mesh import batch_sharding
+
+        n = mesh.shape["data"]
+
+        def wrapped(batch: np.ndarray) -> np.ndarray:
+            b = batch.shape[0]
+            pad = (-b) % n
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
+                )
+            y = jax.device_put(jnp.asarray(batch), batch_sharding(mesh))
+            return fn(y)[:b]
+
+        return wrapped
+
     sampler = DDRMSampler(model, preset, args.consistency)
 
     if args.quality == "auto":
@@ -154,7 +190,7 @@ def main(argv=None):
                     gm.sample({"params": params}, jnp.asarray(batch), steps=init_t)
                 )
 
-            return restore_batch
+            return with_dp(restore_batch)
 
         def restore_batch(batch: np.ndarray) -> np.ndarray:
             return np.asarray(
@@ -167,7 +203,7 @@ def main(argv=None):
                                 protect=tuple(args.protect) if args.protect else None)
             )
 
-        return restore_batch
+        return with_dp(restore_batch)
 
     if args.size_mode == "tile":
         from ddpm_image_restoration_tpu.utils.tiling import restore_tiled

@@ -61,6 +61,11 @@ def main(argv=None):
                     help="cap model evaluations per restore (stride derived "
                          "from init_t; for ddpm-ir-distill checkpoints). "
                          "Overrides --stride.")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel serving over N devices (-1 = all): "
+                         "params replicated, each batch sharded over the "
+                         "data axis (--batch-size must be a multiple of N; "
+                         "fixed-size mode only — tile batches are variable)")
     ap.add_argument("--encoder-reuse", type=int, default=1,
                     help="run the UNet encoder only every k-th model "
                          "evaluation, decoding from cached features between "
@@ -138,6 +143,28 @@ def main(argv=None):
         return args.stride
 
     params = {"params": serve_params}
+
+    mesh = None
+    if args.dp:
+        from ddpm_image_restoration_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicated,
+        )
+
+        n_dp = jax.device_count() if args.dp < 0 else min(args.dp, jax.device_count())
+        if args.batch_size % n_dp:
+            raise SystemExit(f"--batch-size {args.batch_size} must be a "
+                             f"multiple of --dp {n_dp}")
+        mesh = make_mesh((n_dp,), ("data",))
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh)), params
+        )
+        print(f"data-parallel serving over {n_dp} device(s)", flush=True)
+
+    def place(imgs):
+        """Batch placement: sharded over the mesh under --dp, plain otherwise."""
+        x = jnp.asarray(imgs)
+        return jax.device_put(x, batch_sharding(mesh)) if mesh is not None else x
+
     os.makedirs(args.output_dir, exist_ok=True)
     done_dir = args.processed_dir or os.path.join(args.watch, "done")
     os.makedirs(done_dir, exist_ok=True)
@@ -208,7 +235,7 @@ def main(argv=None):
             )
         key, sub = jax.random.split(key)
         q, it = quality_for([os.path.join(args.watch, f) for f in batch_files])
-        out = sampler.sample(params, jnp.asarray(imgs), q, it,
+        out = sampler.sample(params, place(imgs), q, it,
                              key=sub, stride=stride_for(it),
                              encoder_reuse=args.encoder_reuse,
                              decoder_reuse_depth=args.decoder_reuse_depth)

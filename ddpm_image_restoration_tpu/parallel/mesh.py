@@ -145,6 +145,20 @@ def put_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_inference(params, y, mesh: Mesh):
+    """Data-parallel restoration placement: params replicated over the mesh,
+    observation batch y sharded on its leading axis. The jitted sampler then
+    runs SPMD with zero extra code — restoration has no cross-sample
+    communication, so DP scaling is linear up to batch size (the noise drawn
+    inside the scan is sharding-invariant under JAX's partitionable
+    threefry, so DP output == single-device output bit-for-bit given the
+    same key — pinned by tests/test_parallel.py)."""
+    params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated(mesh)), params
+    )
+    return params, jax.device_put(y, batch_sharding(mesh))
+
+
 def put_state(state, mesh: Mesh, fsdp: bool = False):
     sh = state_shardings(state, mesh, fsdp=fsdp)
     return jax.tree_util.tree_map(

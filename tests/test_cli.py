@@ -37,6 +37,51 @@ def test_serve_once_drains_directory(tmp_path):
     assert img.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
+def test_serve_dp_sharded(tmp_path):
+    """--dp 2 serves the same directory with the batch sharded over the
+    faked 2-device data mesh (conftest fakes 8 CPU devices)."""
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    _mk_images(watch, n=2)
+    main([
+        "--watch", str(watch), "--output-dir", str(out), "--codec", "webp",
+        *TINY_FLAGS, "--random-init", "--quality", "30", "--steps", "4",
+        "--batch-size", "2", "--dp", "2", "--once",
+    ])
+    assert len(sorted(out.glob("*_restored.png"))) == 2
+
+
+def test_serve_dp_must_divide_batch(tmp_path):
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    _mk_images(watch, n=1)
+    with pytest.raises(SystemExit, match="multiple of"):
+        main([
+            "--watch", str(watch), "--output-dir", str(tmp_path / "out"),
+            "--codec", "webp", *TINY_FLAGS, "--random-init",
+            "--batch-size", "3", "--dp", "2", "--once",
+        ])
+
+
+@pytest.mark.slow
+def test_restore_dp_pads_odd_batch(tmp_path):
+    """--dp 2 restores 3 images (padded to 4, trimmed back)."""
+    from ddpm_image_restoration_tpu.cli.restore import main
+
+    _mk_images(tmp_path / "in", n=3)
+    out = tmp_path / "out"
+    main([
+        *[str(p) for p in sorted((tmp_path / "in").glob("*.png"))],
+        "--codec", "webp", *TINY_FLAGS, "--random-init", "--quality", "30",
+        "--steps", "4", "--dp", "2", "--output-dir", str(out),
+    ])
+    assert len(sorted(out.glob("*_restored.png"))) == 3
+
+
 def test_serve_requires_checkpoint(tmp_path):
     from ddpm_image_restoration_tpu.cli.serve import main
 

@@ -194,3 +194,27 @@ def test_restore_batch_sharded(rng):
     out = sampler.sample(params, y, quality=30, steps=3)
     assert out.shape == (8, 16, 16, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dp_restore_matches_single_device(rng):
+    """shard_inference DP restoration == single-device restoration for the
+    same key (noise inside the scan is sharding-invariant under JAX's
+    partitionable threefry)."""
+    from ddpm_image_restoration_tpu.config import get_preset
+    from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+    from ddpm_image_restoration_tpu.parallel.mesh import shard_inference
+
+    cfg = _cfg()
+    model = build_model(cfg.codec, cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros(1))
+    y = np.clip(rng.normal(0, 0.4, (8, 16, 16, 3)), -1, 1).astype(np.float32)
+    sampler = DDRMSampler(model, get_preset("webp"))
+    key = jax.random.PRNGKey(7)
+
+    single = np.asarray(
+        sampler.sample(params, jnp.asarray(y), quality=30, steps=4, key=key)
+    )
+    mesh = make_mesh((-1,), ("data",))
+    p_sh, y_sh = shard_inference(params, jnp.asarray(y), mesh)
+    dp = np.asarray(sampler.sample(p_sh, y_sh, quality=30, steps=4, key=key))
+    np.testing.assert_allclose(dp, single, rtol=0, atol=1e-5)
