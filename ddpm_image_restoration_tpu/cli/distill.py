@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--gt-weight", type=float, default=0.3,
                     help="weight of the clean-image anchor term in the "
                          "distillation loss")
+    ap.add_argument("--progressive", action="store_true",
+                    help="halve the eval budget stage by stage down to "
+                         "--n-eval (each stage's student teaches the next) "
+                         "instead of one direct jump")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--steps", type=int, default=100, help="diffusion timesteps")
     ap.add_argument("--batch-size", type=int, default=0, help="0 = codec preset default")
@@ -76,6 +80,7 @@ def main(argv=None):
         teacher_stride=args.teacher_stride,
         qualities=tuple(args.qualities),
         gt_weight=args.gt_weight,
+        progressive=args.progressive,
     )
 
     dataset = None

@@ -59,6 +59,15 @@ class DistillConfig:
     # + gt_weight * loss(student, x0). Anchors the student to the clean
     # image so it cannot inherit teacher artifacts wholesale.
     gt_weight: float = 0.3
+    # progressive distillation (Salimans & Ho, arXiv:2202.00512 adapted to
+    # the DDRM solver): instead of one big jump, halve the eval budget per
+    # stage (E -> E/2 -> ... -> n_eval), each stage distilling from the
+    # previous stage's student. Stage checkpoints land in
+    # <checkpoint_dir>/stage<k>, the final stage in <checkpoint_dir>.
+    progressive: bool = False
+    # internal (set by the progressive driver): teacher's own eval budget —
+    # overrides teacher_stride with the per-quality derived stride
+    teacher_n_eval: int = 0
 
 
 def student_stride(init_t: int, n_eval: int) -> int:
@@ -86,8 +95,11 @@ def make_distill_step(model, cfg: TrainConfig, dcfg: DistillConfig, quality: int
     preset = cfg.preset
     init_t = init_timestep_for_quality(quality, cfg.steps, preset)
     s_stride = student_stride(init_t, dcfg.n_eval)
+    t_stride = dcfg.teacher_stride
+    if dcfg.teacher_n_eval:  # progressive stages: teacher at its own budget
+        t_stride = student_stride(init_t, dcfg.teacher_n_eval)
     sampler = DDRMSampler(model, preset, consistency_mode="surrogate")
-    teacher_run = sampler.build_run(init_t, dcfg.teacher_stride)
+    teacher_run = sampler.build_run(init_t, t_stride)
     student_run = sampler.build_run(init_t, s_stride)
     loss_fn = loss_for_preset(preset.loss_kind)
     eta = jnp.float32(preset.eta)
@@ -123,7 +135,7 @@ def make_distill_step(model, cfg: TrainConfig, dcfg: DistillConfig, quality: int
             )
         return state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
-    return step, init_t, s_stride
+    return step, init_t, s_stride, t_stride
 
 
 def distill_model(
@@ -140,8 +152,15 @@ def distill_model(
     Mirrors train_model's loop shape (train/loop.py) but: the student is
     initialised FROM the teacher (params and, when enabled, EMA), batches
     carry one quality bucket each (static init_t per compiled step), and
-    validation restores with the student's n_eval budget.
+    validation restores with the student's n_eval budget. With
+    dcfg.progressive the eval budget is halved stage by stage (each stage's
+    student teaching the next) down to n_eval.
     """
+    if dcfg.progressive:
+        return _distill_progressive(
+            cfg, dcfg, dataset=dataset, epochs=epochs, val_batch=val_batch,
+            resume=resume, verbose=verbose,
+        )
     from ddpm_image_restoration_tpu.data import (
         ImageFolderDataset,
         SyntheticImageDataset,
@@ -202,10 +221,10 @@ def distill_model(
 
     steps = {}
     for q in qualities:
-        steps[q], init_t, s_stride = make_distill_step(model, cfg, dcfg, q)
+        steps[q], init_t, s_stride, t_stride = make_distill_step(model, cfg, dcfg, q)
         if verbose:
             print(f"quality {q}: teacher {init_t} steps/stride "
-                  f"{dcfg.teacher_stride} -> student stride {s_stride} "
+                  f"{t_stride} -> student stride {s_stride} "
                   f"({dcfg.n_eval} evals)")
 
     ckpt = CheckpointManager(cfg.checkpoint_dir)
@@ -253,3 +272,58 @@ def distill_model(
 
     ckpt.wait()
     return state, logger.history
+
+
+def _distill_progressive(
+    cfg: TrainConfig,
+    dcfg: DistillConfig,
+    dataset=None,
+    epochs: Optional[int] = None,
+    val_batch: int = 4,
+    resume: bool = True,
+    verbose: bool = True,
+):
+    """Stage driver: halve the eval budget from the teacher's down to
+    dcfg.n_eval, each stage distilling from the previous stage's checkpoint.
+    Stage k saves under <checkpoint_dir>/stage<k>; the final stage saves to
+    <checkpoint_dir> itself so downstream tooling sees one directory."""
+    from ddpm_image_restoration_tpu.diffusion.ddrm import _solver_indices
+
+    preset = cfg.preset
+    qualities = tuple(dcfg.qualities) or tuple(preset.val_qualities)
+    e0 = max(
+        len(_solver_indices(
+            init_timestep_for_quality(q, cfg.steps, preset),
+            max(1, dcfg.teacher_stride),
+        ))
+        for q in qualities
+    )
+    budgets = []
+    b = e0 // 2
+    while b > dcfg.n_eval:
+        budgets.append(b)
+        b //= 2
+    budgets.append(dcfg.n_eval)
+
+    teacher_dir, teacher_n_eval = dcfg.teacher_dir, 0
+    state = history = None
+    for k, budget in enumerate(budgets):
+        last = k == len(budgets) - 1
+        stage_dir = (
+            cfg.checkpoint_dir if last
+            else os.path.join(cfg.checkpoint_dir, f"stage{k}")
+        )
+        if verbose:
+            print(f"[progressive {k + 1}/{len(budgets)}] eval budget {budget} "
+                  f"(teacher: {teacher_dir})")
+        cfg_k = dataclasses.replace(cfg, checkpoint_dir=stage_dir)
+        dcfg_k = dataclasses.replace(
+            dcfg, teacher_dir=teacher_dir, n_eval=budget,
+            teacher_n_eval=teacher_n_eval, progressive=False,
+        )
+        state, history = distill_model(
+            cfg_k, dcfg_k, dataset=dataset, epochs=epochs,
+            val_batch=val_batch, resume=resume, verbose=verbose,
+        )
+        teacher_dir, teacher_n_eval = stage_dir, budget
+    return state, history

@@ -51,7 +51,7 @@ def test_distill_step_runs_and_moves_params(tmp_path):
     teacher_params = jax.tree_util.tree_map(np.copy, state.params)
 
     dcfg = DistillConfig(n_eval=1, teacher_stride=10)  # fast teacher for test
-    step, init_t, s_stride = make_distill_step(model, cfg, dcfg, quality=30)
+    step, init_t, s_stride, _ = make_distill_step(model, cfg, dcfg, quality=30)
     assert init_t == 70 and s_stride == 70  # webp clamp (20, 80)
 
     rng = np.random.default_rng(0)
@@ -112,6 +112,37 @@ def test_distill_end_to_end(tmp_path):
         cfg_s, dcfg, dataset=ds, epochs=2, val_batch=2, verbose=False
     )
     assert len(history2.get("loss", [])) == 0  # resumed past the last epoch
+
+
+def test_progressive_budget_chain(tmp_path):
+    """The progressive driver halves budgets down to n_eval and chains
+    stage checkpoints (verified by the stage directories it leaves)."""
+    import os
+    from unittest import mock
+
+    from ddpm_image_restoration_tpu.train import distill as D
+
+    cfg = tiny_cfg(tmp_path / "out")
+    dcfg = DistillConfig(teacher_dir="T", n_eval=1, teacher_stride=10,
+                         qualities=(30,), progressive=True)
+    calls = []
+
+    def fake_distill(cfg_k, dcfg_k, **kw):
+        calls.append((dcfg_k.n_eval, dcfg_k.teacher_dir,
+                      dcfg_k.teacher_n_eval, cfg_k.checkpoint_dir))
+        return "state", {"loss": [0.0]}
+
+    with mock.patch.object(D, "distill_model", side_effect=fake_distill):
+        D._distill_progressive(cfg, dcfg, dataset=None, epochs=1)
+
+    # teacher at stride 10 over init_t=70 -> 8 evals (incl. final i=0);
+    # halving chain 4 -> 2 -> 1
+    budgets = [c[0] for c in calls]
+    assert budgets == [4, 2, 1]
+    assert calls[0][1] == "T" and calls[0][2] == 0      # stage 0: real teacher
+    assert calls[1][1].endswith("stage0") and calls[1][2] == 4
+    assert calls[2][1].endswith("stage1") and calls[2][2] == 2
+    assert calls[-1][3] == str(tmp_path / "out")        # final stage in root
 
 
 def test_distill_missing_teacher_raises(tmp_path):
