@@ -112,6 +112,11 @@ def main():
                     help="reduced-step accelerated solver (stride 5 validated: "
                          "keeps >90%% of restoration gains, results/README.md); "
                          "1 = reference step-for-step")
+    ap.add_argument("--max-evals", type=int, default=0,
+                    help="cap model evaluations per restore (distilled-student "
+                         "budget: stride derived from --steps). Overrides "
+                         "--stride. Architecture-level throughput only — "
+                         "quality requires a ddpm-ir-distill checkpoint.")
     ap.add_argument("--encoder-reuse", type=int, default=2,
                     help="run the UNet encoder only every k-th model "
                          "evaluation (encoder-propagation acceleration; 2 is "
@@ -127,6 +132,11 @@ def main():
                          "(32 = standard diffusion-UNet practice at 128^2; "
                          "1024 = reference parity, attention everywhere)")
     args = ap.parse_args()
+
+    if args.max_evals:
+        from ddpm_image_restoration_tpu.train.distill import student_stride
+
+        args.stride = student_stride(args.steps, args.max_evals)
 
     # batch 16 measured 10% faster than 8 at 128^2 with xla attention (53.96
     # vs 48.96 img/s on v5e); it fits comfortably, so the auto path leads

@@ -74,6 +74,8 @@ def student_stride(init_t: int, n_eval: int) -> int:
     """The solver stride that makes `sample(steps=init_t)` run n_eval model
     evaluations (see diffusion/ddrm.py _solver_indices: descending from
     init_t-1 by `stride`, always ending at 0)."""
+    if n_eval < 1:
+        raise ValueError(f"n_eval must be >= 1, got {n_eval}")
     if n_eval >= init_t:
         return 1
     # len(range(init_t-1, -1, -s)) == ceil(init_t / s); find the smallest
