@@ -171,12 +171,17 @@ def main(argv=None):
 
     from ddpm_image_restoration_tpu.diffusion.ensemble import sample_ensemble
 
+    if args.max_evals and args.solver == "gaussian_mixture":
+        raise SystemExit("--max-evals applies to the DDRM solver only (the "
+                         "gaussian_mixture sampler has no stride); drop one")
+
     def make_restore_batch(quality: int):
         init_t = init_timestep_for_quality(quality, args.steps, preset)
+        stride = args.stride
         if args.max_evals:
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
-            args.stride = student_stride(init_t, args.max_evals)
+            stride = student_stride(init_t, args.max_evals)
 
         if args.solver == "gaussian_mixture":
             from ddpm_image_restoration_tpu.diffusion.gaussian_mixture import (
@@ -197,7 +202,7 @@ def main(argv=None):
                 sample_ensemble(sampler, {"params": params}, jnp.asarray(batch),
                                 quality, init_t,
                                 n_transforms=args.ensemble,
-                                stride=args.stride,
+                                stride=stride,
                                 encoder_reuse=args.encoder_reuse,
                                 decoder_reuse_depth=args.decoder_reuse_depth,
                                 protect=tuple(args.protect) if args.protect else None)

@@ -150,6 +150,10 @@ def main(argv=None):
             batch_sharding, make_mesh, replicated,
         )
 
+        if args.size_mode == "tile":
+            raise SystemExit("--dp requires fixed-size mode: tile batches "
+                             "are variable-sized and cannot be sharded "
+                             "(drop --dp or --size-mode tile)")
         n_dp = jax.device_count() if args.dp < 0 else min(args.dp, jax.device_count())
         if args.batch_size % n_dp:
             raise SystemExit(f"--batch-size {args.batch_size} must be a "

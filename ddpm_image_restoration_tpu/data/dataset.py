@@ -38,18 +38,35 @@ class ImageFolderDataset:
     """
 
     def __init__(self, root: str, image_size: int = 64,
-                 cache_decoded: bool = False):
+                 cache_decoded: bool = False, recursive: bool = True):
+        """recursive=False restricts to the top level (the reference's exact
+        os.listdir behaviour) — set it if the directory contains nested
+        non-dataset images (e.g. previous run outputs) that the recursive
+        scan would otherwise ingest, changing the seeded split membership."""
         self.root = root
         self.image_size = image_size
-        self.files = sorted(
-            os.path.join(dirpath, f)
-            for dirpath, _, filenames in os.walk(root)
-            for f in filenames
-            if f.lower().endswith(_EXTENSIONS)
-        )
+        if recursive:
+            self.files = sorted(
+                os.path.join(dirpath, f)
+                for dirpath, _, filenames in os.walk(root)
+                for f in filenames
+                if f.lower().endswith(_EXTENSIONS)
+            )
+        else:
+            self.files = sorted(
+                os.path.join(root, f)
+                for f in os.listdir(root)
+                if f.lower().endswith(_EXTENSIONS)
+            )
         if not self.files:
             raise ValueError(f"no images found under {root!r}")
         self._cache: list = [None] * len(self.files) if cache_decoded else None
+        est_gb = len(self.files) * image_size * image_size * 3 / 1e9
+        if cache_decoded and est_gb > 4.0:
+            print(f"ImageFolderDataset: decoded-image cache will grow to "
+                  f"~{est_gb:.1f} GB host RAM ({len(self.files)} images at "
+                  f"{image_size}^2); disable with cache_decoded=False / "
+                  f"--no-cache-decoded if that is too much")
 
     def __len__(self) -> int:
         return len(self.files)

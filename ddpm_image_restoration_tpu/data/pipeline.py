@@ -32,6 +32,40 @@ from ddpm_image_restoration_tpu.codecs.quality import (
 from ddpm_image_restoration_tpu.config import CodecPreset
 
 
+def prefetched_map(fn, n: int, num_workers: int, prefetch: int = 2):
+    """Yield fn(0), fn(1), ..., fn(n-1) strictly in order.
+
+    num_workers > 1 computes ahead on a thread pool with a bounded sliding
+    window (num_workers + prefetch in flight — the host-memory bound), so
+    `fn` must be order-independent (give it its own RNG stream per index).
+    Early generator exit cancels pending work without blocking on it, and
+    retrieves completed futures' exceptions so none surface as
+    'exception was never retrieved' noise."""
+    if num_workers <= 1:
+        for b in range(n):
+            yield fn(b)
+        return
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+    futures: "collections.deque" = collections.deque()
+    nxt = 0
+    try:
+        for _ in range(min(num_workers + prefetch, n)):
+            futures.append(pool.submit(fn, nxt))
+            nxt += 1
+        while futures:
+            out = futures.popleft().result()
+            if nxt < n:
+                futures.append(pool.submit(fn, nxt))
+                nxt += 1
+            yield out
+    finally:
+        for f in futures:
+            f.cancel()
+            if f.done() and not f.cancelled():
+                f.exception()
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
 class DegradationLoader:
     """Iterable over degraded training batches for one epoch at a time.
 
@@ -152,28 +186,13 @@ class DegradationLoader:
             yield item
 
     def _epoch_pooled(self, batches, epoch: int) -> Iterator[Dict]:
-        """num_workers>1: a sliding window of in-flight batch futures.
-
-        The window (workers + prefetch) bounds host memory the same way the
-        single-producer queue does; results are consumed strictly in batch
-        order, which the per-batch RNG streams make identical to serial.
-        """
-        window = self.num_workers + self.prefetch
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            futures: "collections.deque" = collections.deque()
-            it = enumerate(batches)
-
-            def submit_next():
-                for b, idxs in it:
-                    futures.append(pool.submit(self._make_batch, idxs, epoch, b))
-                    return
-
-            for _ in range(window):
-                submit_next()
-            while futures:
-                batch = futures.popleft().result()
-                submit_next()
-                yield batch
+        """num_workers>1: sliding window of in-flight batch futures; results
+        are consumed strictly in batch order, which the per-batch RNG
+        streams make identical to serial."""
+        yield from prefetched_map(
+            lambda b: self._make_batch(batches[b], epoch, b),
+            len(batches), self.num_workers, self.prefetch,
+        )
 
     def eval_batches(self, batch_size: Optional[int] = None) -> Iterator[np.ndarray]:
         """Deterministic clean-image batches (for validation/eval harness)."""

@@ -41,6 +41,7 @@ import optax
 
 from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
 from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality
+from ddpm_image_restoration_tpu.data.pipeline import prefetched_map
 from ddpm_image_restoration_tpu.config import TrainConfig
 from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
 from ddpm_image_restoration_tpu.diffusion.losses import loss_for_preset
@@ -248,11 +249,15 @@ def distill_model(
         t_start = time.time()
         order = np.random.default_rng((cfg.seed, epoch, 17)).permutation(len(train_idx))
         losses = []
-        for b in range(n_batches):
+        def make_batch(b: int):
             idxs = train_idx[order[b * batch_size : (b + 1) * batch_size]]
+            # continuous round-robin across epochs: with few batches per
+            # epoch, `b % len` alone would train only the first buckets
+            q = qualities[(epoch * n_batches + b) % len(qualities)]
             x0 = np.stack([dataset[int(i)] for i in idxs])
-            q = qualities[b % len(qualities)]
-            y = compress_batch(x0, preset.name, q)
+            return q, x0, compress_batch(x0, preset.name, q)
+
+        for q, x0, y in prefetched_map(make_batch, n_batches, cfg.data_workers):
             rng, sub = jax.random.split(rng)
             batch = {"x0": jnp.asarray(x0), "xt": jnp.asarray(y)}
             state, metrics = steps[q](state, teacher_params, batch, sub)
