@@ -77,6 +77,7 @@ def train_config_from(args) -> TrainConfig:
         fsdp=getattr(args, "fsdp", False),
         data_workers=getattr(args, "data_workers", 4),
         cache_decoded=not getattr(args, "no_cache_decoded", False),
+        lr_override=getattr(args, "lr", 0.0),
     )
 
 

@@ -67,6 +67,10 @@ def main(argv=None):
     ap.add_argument("--synthetic-kind", default="waves",
                     choices=["waves", "dead_leaves", "mixed"])
     ap.add_argument("--ema-decay", type=float, default=0.0)
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="learning rate (0 = the codec preset's training "
+                         "value; distillation fine-tunes, so ~10x lower is "
+                         "a good start)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
     configure_jax_cache(getattr(args, "platform", None))

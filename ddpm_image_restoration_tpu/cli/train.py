@@ -34,6 +34,9 @@ def main(argv=None):
                     help="shard params/optimizer/EMA over the data axis "
                          "(FSDP/ZeRO-3 style; XLA all-gathers + "
                          "reduce-scatters)")
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="learning rate (0 = the codec preset's reference "
+                         "value)")
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="EMA of params for validation/serving (e.g. 0.999); "
                          "0 = off (reference behaviour)")

@@ -227,6 +227,9 @@ class TrainConfig:
     # (uint8, so 64^2 over ImageNet-val's 50k images is ~0.6 GB)
     data_workers: int = 4
     cache_decoded: bool = True
+    # learning-rate override: 0 = the codec preset's reference value.
+    # Fine-tuning stages (ddpm-ir-distill) typically want ~10x lower.
+    lr_override: float = 0.0
 
     @property
     def preset(self) -> CodecPreset:

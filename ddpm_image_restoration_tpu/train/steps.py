@@ -38,7 +38,7 @@ class TrainState(train_state.TrainState):
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.GradientTransformation:
     schedule = cosine_warm_restarts(
-        base_lr=cfg.preset.lr,
+        base_lr=cfg.lr_override or cfg.preset.lr,
         t0=cfg.cosine_t0 * steps_per_epoch,
         t_mult=cfg.cosine_t_mult,
     )
