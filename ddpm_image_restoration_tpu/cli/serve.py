@@ -172,7 +172,24 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     done_dir = args.processed_dir or os.path.join(args.watch, "done")
     os.makedirs(done_dir, exist_ok=True)
+    reject_dir = os.path.join(args.watch, "rejected")
     key = jax.random.PRNGKey(0)
+
+    def load_batch(batch_files, size):
+        """Decode a batch, quarantining undecodable files (a corrupt upload
+        must never take the server down): they move to <watch>/rejected and
+        the batch continues with the survivors."""
+        good, imgs = [], []
+        for f in batch_files:
+            try:
+                imgs.append(_load(os.path.join(args.watch, f), size))
+                good.append(f)
+            except Exception as e:
+                os.makedirs(reject_dir, exist_ok=True)
+                os.replace(os.path.join(args.watch, f),
+                           os.path.join(reject_dir, f))
+                print(f"rejected undecodable input {f}: {e}", flush=True)
+        return good, imgs
     served = 0
 
     def scan(exclude):
@@ -202,7 +219,9 @@ def main(argv=None):
                     break
                 time.sleep(args.poll_seconds)
                 continue
-            batch_files = files[: args.batch_size]
+            batch_files, images = load_batch(files[: args.batch_size], None)
+            if not batch_files:
+                continue
             key, sub = jax.random.split(key)
             q, it = quality_for([os.path.join(args.watch, f) for f in batch_files])
 
@@ -215,10 +234,10 @@ def main(argv=None):
                 )
 
             finish(batch_files, [
-                restore_tiled(restore_fixed, _load(os.path.join(args.watch, f), None),
+                restore_tiled(restore_fixed, img,
                               mcfg.image_size, overlap=args.tile_overlap,
                               batch_size=args.batch_size)
-                for f in batch_files
+                for img in images
             ])
         print(f"done; served {served} images", flush=True)
         return
@@ -229,9 +248,11 @@ def main(argv=None):
         next one (pipelined serving — per-batch sync costs ~14% on a
         tunneled chip, see docs/ROADMAP.md)."""
         nonlocal key
+        batch_files, loaded = load_batch(batch_files, mcfg.image_size)
+        if not batch_files:
+            return None
         n = len(batch_files)
-        imgs = np.stack([_load(os.path.join(args.watch, f), mcfg.image_size)
-                         for f in batch_files])
+        imgs = np.stack(loaded)
         # pad to the compiled batch size so one executable serves every request
         if n < args.batch_size:
             imgs = np.concatenate(

@@ -54,6 +54,25 @@ def test_serve_dp_sharded(tmp_path):
     assert len(sorted(out.glob("*_restored.png"))) == 2
 
 
+@pytest.mark.slow
+def test_serve_quarantines_corrupt_inputs(tmp_path):
+    """A corrupt upload must not take the server down: it moves to
+    <watch>/rejected and the surviving files are restored."""
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    _mk_images(watch, n=2)
+    (watch / "broken.png").write_bytes(b"not an image at all")
+    main([
+        "--watch", str(watch), "--output-dir", str(out), "--codec", "webp",
+        *TINY_FLAGS, "--random-init", "--quality", "30", "--steps", "4",
+        "--batch-size", "2", "--once",
+    ])
+    assert len(sorted(out.glob("*_restored.png"))) == 2
+    assert (watch / "rejected" / "broken.png").exists()
+
+
 def test_serve_dp_must_divide_batch(tmp_path):
     from ddpm_image_restoration_tpu.cli.serve import main
 
