@@ -195,8 +195,13 @@ class DegradationLoader:
         )
 
     def eval_batches(self, batch_size: Optional[int] = None) -> Iterator[np.ndarray]:
-        """Deterministic clean-image batches (for validation/eval harness)."""
+        """Deterministic clean-image batches (for validation/eval harness),
+        decoded ahead on the worker pool when num_workers > 1."""
         bs = batch_size or self.batch_size
-        for b in range(0, len(self.indices), bs):
-            idxs = self.indices[b : b + bs]
-            yield np.stack([self.dataset[int(i)] for i in idxs])
+        n_batches = -(-len(self.indices) // bs)
+
+        def make(b: int) -> np.ndarray:
+            idxs = self.indices[b * bs : (b + 1) * bs]
+            return np.stack([self.dataset[int(i)] for i in idxs])
+
+        yield from prefetched_map(make, n_batches, self.num_workers, self.prefetch)
