@@ -67,6 +67,54 @@ def ddpm_inference(model_apply, params, y: jnp.ndarray, T: int = 70,
     return out
 
 
+def ddim_inference(model_apply, params, y: jnp.ndarray, T: int = 70,
+                   n_steps: int = 0, eta: float = 0.0,
+                   sched: DDPMSchedule | None = None,
+                   key: jax.Array | None = None) -> jnp.ndarray:
+    """DDIM sampling (Song et al., arXiv:2010.02502) over the same β-schedule
+    — NOT in the reference (its experiments only run the full posterior
+    chain, extract ddpm.py:447-455). With n_steps < T this subsamples the
+    timestep grid uniformly, the few-eval analogue of the DDRM solver's
+    `stride` for the historical ε-prediction models; eta=0 is deterministic,
+    eta=1 recovers DDPM-like stochasticity on the subsampled grid.
+
+        x_{s} = √ᾱ_s · x̂0 + √(1−ᾱ_s−σ²) · ε̂ + σ·z,
+        x̂0 = (x_t − √(1−ᾱ_t)·ε̂)/√ᾱ_t,
+        σ = eta·√((1−ᾱ_s)/(1−ᾱ_t))·√(1−ᾱ_t/ᾱ_s)
+    """
+    sched = sched or make_ddpm_schedule()
+    n_steps = n_steps or T
+    # descending subsampled grid T..1 (endpoints included), then pairs (t, s)
+    import numpy as np
+
+    grid = np.unique(np.round(np.linspace(1, T, n_steps)).astype(np.int64))[::-1]
+    pairs = np.stack([grid, np.append(grid[1:], 0)], axis=1)  # s=0 -> x0
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def step(carry, ts):
+        xt, key = carry
+        t, s = ts[0], ts[1]
+        key, nkey = jax.random.split(key)
+        t_vec = jnp.full((xt.shape[0],), t, jnp.float32)
+        eps = model_apply(params, xt, t_vec)
+        shape1 = (-1,) + (1,) * (xt.ndim - 1)
+        ab_t = sched.alpha_bars[t - 1].reshape(shape1)
+        # ᾱ_0 := 1 (fully denoised)
+        ab_s = jnp.where(s > 0, sched.alpha_bars[jnp.maximum(s - 1, 0)], 1.0)
+        ab_s = ab_s.reshape(shape1)
+        x0_hat = (xt - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
+        sigma = eta * jnp.sqrt((1.0 - ab_s) / (1.0 - ab_t)) * jnp.sqrt(
+            1.0 - ab_t / ab_s
+        )
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - ab_s - sigma**2, 0.0)) * eps
+        noise = jax.random.normal(nkey, xt.shape, xt.dtype)
+        x_next = jnp.sqrt(ab_s) * x0_hat + dir_xt + sigma * noise
+        return (x_next, key), None
+
+    (out, _), _ = jax.lax.scan(step, (y, key), jnp.asarray(pairs))
+    return out
+
+
 def cosine_quality_schedule(t: jnp.ndarray, mode: str = "cosine") -> jnp.ndarray:
     """dct.ipynb get_quality_schedule: t normalized in [0,1] -> quality."""
     t = jnp.asarray(t, jnp.float32)

@@ -7,6 +7,7 @@ import pytest
 
 from ddpm_image_restoration_tpu.diffusion.ddpm_schedule import (
     cosine_quality_schedule,
+    ddim_inference,
     ddpm_inference,
     ddpm_noise_target,
     ddpm_posterior_step,
@@ -55,6 +56,32 @@ def test_noise_target_posterior_inverse(x16, rng):
     np.testing.assert_allclose(np.asarray(xt_rec), np.asarray(xt), atol=1e-5)
     out = ddpm_posterior_step(xt, eps, t, s)
     assert out.shape == xt.shape
+
+
+def test_ddim_exact_with_true_eps(x16, rng):
+    """With the trajectory's true constant-ε predictor, deterministic DDIM
+    (eta=0) recovers x0 exactly — full grid AND a 5-step subsampled grid
+    (the update is exact for any step size when ε̂ is the true ε)."""
+    T = 20
+    s = make_ddpm_schedule(T)
+    x0 = x16
+    eps = jnp.asarray(rng.standard_normal(x0.shape).astype("f"))
+    ab_T = s.alpha_bars[T - 1]
+    xT = jnp.sqrt(ab_T) * x0 + jnp.sqrt(1 - ab_T) * eps
+
+    model = lambda params, xt, t_vec: eps
+    for n_steps in (T, 5):
+        out = ddim_inference(model, None, xT, T=T, n_steps=n_steps, eta=0.0, sched=s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_ddim_runs_with_model(x16):
+    m = SimpleConvUNet(widths=(8, 8, 16))
+    params = m.init(jax.random.PRNGKey(0), x16, jnp.zeros(2))
+    t_apply = lambda p, x, t: m.apply(p, x, t)
+    out = ddim_inference(t_apply, params, x16, T=10, n_steps=3, eta=0.5)
+    assert out.shape == x16.shape
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_cosine_quality_schedule():
