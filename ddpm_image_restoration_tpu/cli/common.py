@@ -48,6 +48,11 @@ def add_model_flags(ap: argparse.ArgumentParser):
     ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
     ap.add_argument("--attn-max-res", type=int, default=1024,
                     help="apply self-attention only at spatial sizes <= this")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize each UNet block on backward "
+                         "(jax.checkpoint): ~1 extra forward of FLOPs for "
+                         "O(depth) less activation HBM — for 256^2+ or "
+                         "large-batch training that otherwise OOMs")
 
 
 def model_config_from(args) -> ModelConfig:
@@ -56,6 +61,7 @@ def model_config_from(args) -> ModelConfig:
         compute_dtype=args.compute_dtype,
         attention_impl=args.attn,
         attn_max_resolution=args.attn_max_res,
+        remat=getattr(args, "remat", False),
     )
     if args.width_scale > 1:
         cfg = cfg.scaled(args.width_scale)

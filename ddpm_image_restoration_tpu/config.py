@@ -161,6 +161,11 @@ class ModelConfig:
     # apply full self-attention only at/below this spatial size (reference applies it
     # everywhere, incl. 64x64 = 4096 tokens; set to >=image_size for exact parity)
     attn_max_resolution: int = 1024
+    # rematerialize each ResAttnBlock on the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(depth) less activation HBM —
+    # the standard lever for 256^2+ training or reference-width large-batch
+    # runs that otherwise RESOURCE_EXHAUST. Numerics are identical (tested).
+    remat: bool = False
 
     def validate(self) -> "ModelConfig":
         """Fail fast on impossible geometry instead of an opaque XLA error."""

@@ -151,14 +151,23 @@ class CodecDiffusionModel(nn.Module):
     def setup(self):
         cfg, preset = self.cfg, self.preset
         self.time_embed = TimeEmbedding(cfg.time_dim)
+        # cfg.remat: checkpoint each block's activations (recomputed on
+        # backward) — the jax.checkpoint HBM<->FLOPs lever for 256^2+ runs.
+        # `deterministic` stays a static Python bool through the lifted
+        # transform (argnums include the module scope at 0: x=1, t_emb=2,
+        # level=3, deterministic=4).
+        block = (
+            nn.remat(ResAttnBlock, static_argnums=(4,)) if cfg.remat
+            else ResAttnBlock
+        )
         for i, w_ in enumerate(cfg.enc_widths):
-            setattr(self, f"down{i + 1}", ResAttnBlock(w_, preset, cfg))
+            setattr(self, f"down{i + 1}", block(w_, preset, cfg))
         for i, w_ in enumerate(cfg.bottleneck_widths):
-            setattr(self, f"bottleneck{i + 1}", ResAttnBlock(w_, preset, cfg))
+            setattr(self, f"bottleneck{i + 1}", block(w_, preset, cfg))
         # decoder widths mirror the encoder (up1..up5 -> 512,256,128,64,64)
         self._dec_widths = list(cfg.enc_widths[-2::-1]) + [cfg.enc_widths[0]]
         for i, w_ in enumerate(self._dec_widths):
-            setattr(self, f"up{i + 1}", ResAttnBlock(w_, preset, cfg))
+            setattr(self, f"up{i + 1}", block(w_, preset, cfg))
         self.out_norm = nn.GroupNorm(
             num_groups=adjusted_group_count(cfg.enc_widths[0]), dtype=jnp.float32
         )

@@ -131,3 +131,28 @@ def test_bf16_compute_dtype(small_images):
     # params stored fp32
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_remat_identical_outputs_and_grads(small_images):
+    """cfg.remat must change memory behaviour only: same param tree, same
+    forward outputs, same gradients."""
+    import dataclasses
+
+    x = small_images
+    t = jnp.full((x.shape[0],), 0.4)
+    outs, grads = [], []
+    for remat in (False, True):
+        cfg = dataclasses.replace(TINY, remat=remat)
+        model = build_model("webp", cfg)
+        params = model.init(jax.random.PRNGKey(0), x, t)
+        outs.append(model.apply(params, x, t, t))
+
+        def loss(p):
+            return jnp.mean(model.apply(p, x, t, t) ** 2)
+
+        grads.append(jax.grad(loss)(params))
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-6)
+    a, b = jax.tree_util.tree_leaves(grads[0]), jax.tree_util.tree_leaves(grads[1])
+    assert len(a) == len(b)
+    for ga, gb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
