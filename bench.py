@@ -21,14 +21,17 @@ import argparse
 import json
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+from ddpm_image_restoration_tpu.cli.common import configure_jax_cache
 
 # TPU compiles through the axon tunnel are slow (minutes) and high-variance;
-# the persistent cache makes repeat bench invocations near-instant to warm up.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ddpm_ir_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# the persistent cache makes repeat bench invocations near-instant to warm
+# up. Also honours DDPM_IR_PLATFORM (the axon PJRT plugin re-selects itself
+# regardless of JAX_PLATFORMS, so CPU smoke runs need the config-level pin).
+configure_jax_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_IMGS_PER_SEC = 50.0
 
@@ -50,14 +53,16 @@ def build(size: int, attn_impl: str, widths_scale: int = 1, attn_max_res: int = 
 
 def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: int = 30,
                   stride: int = 1, attn_max_res: int = 1024, encoder_reuse: int = 1,
-                  decoder_reuse_depth: int = 0):
+                  decoder_reuse_depth: int = 0, dispatch: str = "scan",
+                  n_iters: int = 0):
     from ddpm_image_restoration_tpu.config import get_preset
     from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
 
     model, cfg = build(size, attn_impl, attn_max_res=attn_max_res)
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros(batch))
-    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    preset = get_preset("webp")
+    sampler = DDRMSampler(model, preset, consistency_mode="surrogate")
 
     rng = np.random.default_rng(0)
     y = jnp.asarray(np.clip(rng.normal(0, 0.4, x.shape), -1, 1).astype(np.float32))
@@ -72,19 +77,45 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
         # on identical HLO, purely from the 3MB/iter transfer).
         return float(jnp.sum(out))
 
-    # compile + warmup
+    if dispatch == "scan":
+        # Default: scan the restore over n_iters keys INSIDE one XLA program,
+        # so the whole measurement is a single dispatch + a single scalar
+        # sync. This measures CHIP throughput. The tunneled dev host pays a
+        # 10–150 ms round-trip per dispatch (it varies session to session:
+        # the same HLO measured 202 img/s on a fast-tunnel day and 90 on a
+        # slow one under per-call dispatch; --max-evals 1, with 14x less
+        # compute, moved it only to 101 — pure dispatch bound). A production
+        # host drives the chip locally and pays ~none of that.
+        n_iters = n_iters or 64
+        run = sampler.build_run(steps, stride, encoder_reuse, decoder_reuse_depth)
+        eta = jnp.float32(preset.eta)
+        eta_b = jnp.float32(preset.eta_b)
+
+        @jax.jit
+        def run_many(params, y, keys):
+            def body(tot, k):
+                out = run(params, y, quality, k, eta, eta_b)
+                return tot + jnp.sum(out), None
+
+            tot, _ = jax.lax.scan(body, jnp.float32(0), keys)
+            return tot
+
+        keys = jax.random.split(jax.random.PRNGKey(42), n_iters)
+        sync(run_many(params, y, keys))  # compile + warmup
+        t0 = time.perf_counter()
+        sync(run_many(params, y, keys))
+        dt = (time.perf_counter() - t0) / n_iters
+        return batch / dt, dt
+
+    # --dispatch pipelined: one host dispatch per restore call, all enqueued
+    # asynchronously, one sync at the end — what a server streaming batches
+    # through THIS host would sustain, tunnel round-trips included.
+    n_iters = n_iters or 8
     for k in (100, 101):
         sync(sampler.sample(params, y, quality=quality, steps=steps,
                             key=jax.random.PRNGKey(k), stride=stride,
                             encoder_reuse=encoder_reuse,
                             decoder_reuse_depth=decoder_reuse_depth))
-
-    # Throughput is measured PIPELINED: enqueue all restore calls (JAX
-    # dispatch is async) and sync once at the end, as a production server
-    # streaming batches would. Per-call sync adds the tunnel's dispatch
-    # round-trip to every iteration (measured: 82.0 img/s serial vs 95.0
-    # pipelined at stride 5, batch 16).
-    n_iters = 8
     t0 = time.perf_counter()
     outs = [
         sampler.sample(
@@ -105,8 +136,9 @@ def main():
     ap.add_argument("--batch", type=int, default=0, help="0 = auto (largest that fits)")
     ap.add_argument("--steps", type=int, default=70, help="init_t for q=30 (full restore)")
     ap.add_argument("--attn", default="flash", choices=["xla", "flash"],
-                    help="'flash' auto-dispatches: Pallas kernel at >=2048 "
-                         "tokens, fused XLA attention below")
+                    help="'flash' auto-dispatches: Pallas kernel at >=1024 "
+                         "tokens (where the tuned 1024-block kernel wins), "
+                         "fused XLA attention below")
     ap.add_argument("--quality", type=int, default=30)
     ap.add_argument("--stride", type=int, default=5,
                     help="reduced-step accelerated solver (stride 5 validated: "
@@ -131,6 +163,15 @@ def main():
                     help="apply self-attention at levels <= this spatial size "
                          "(32 = standard diffusion-UNet practice at 128^2; "
                          "1024 = reference parity, attention everywhere)")
+    ap.add_argument("--dispatch", default="scan", choices=["scan", "pipelined"],
+                    help="'scan' (default) runs all timed restores inside ONE "
+                         "XLA program — chip throughput, independent of the "
+                         "dev tunnel's per-dispatch latency; 'pipelined' "
+                         "enqueues one call per restore (host-loop serving "
+                         "shape, includes dispatch overhead)")
+    ap.add_argument("--iters", type=int, default=0,
+                    help="timed restore iterations (0 = per-mode default: "
+                         "64 scanned / 8 pipelined)")
     args = ap.parse_args()
 
     if args.max_evals:
@@ -150,6 +191,7 @@ def main():
                 stride=args.stride, attn_max_res=args.attn_max_res,
                 encoder_reuse=args.encoder_reuse,
                 decoder_reuse_depth=args.decoder_reuse_depth,
+                dispatch=args.dispatch, n_iters=args.iters,
             )
             print(
                 json.dumps(

@@ -391,14 +391,21 @@ class DDRMSampler:
 
         return run
 
-    def build_run(self, steps: int, stride: int = 1):
+    def build_run(
+        self,
+        steps: int,
+        stride: int = 1,
+        encoder_reuse: int = 1,
+        decoder_reuse_depth: int = 0,
+    ):
         """The raw jitted solver fn(params, y, quality, key, eta, eta_b) for a
         static (steps, stride) — differentiable end-to-end in 'surrogate'
         mode. Used by solver distillation (train/distill.py), which trains a
-        student *through* the sampler at high stride."""
+        student *through* the sampler at high stride, and by bench.py, which
+        scans it to amortise per-dispatch host latency."""
         if self.consistency_mode == "host_loop":
             raise ValueError("build_run requires an on-device consistency mode")
-        return self._build(steps, stride)
+        return self._build(steps, stride, encoder_reuse, decoder_reuse_depth)
 
     def sample(
         self,
