@@ -54,11 +54,12 @@ def build(size: int, attn_impl: str, widths_scale: int = 1, attn_max_res: int = 
 def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: int = 30,
                   stride: int = 1, attn_max_res: int = 1024, encoder_reuse: int = 1,
                   decoder_reuse_depth: int = 0, dispatch: str = "scan",
-                  n_iters: int = 0):
+                  n_iters: int = 0, width_scale: int = 1):
     from ddpm_image_restoration_tpu.config import get_preset
     from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
 
-    model, cfg = build(size, attn_impl, attn_max_res=attn_max_res)
+    model, cfg = build(size, attn_impl, widths_scale=width_scale,
+                       attn_max_res=attn_max_res)
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros(batch))
     preset = get_preset("webp")
@@ -172,6 +173,9 @@ def main():
     ap.add_argument("--iters", type=int, default=0,
                     help="timed restore iterations (0 = per-mode default: "
                          "64 scanned / 8 pipelined)")
+    ap.add_argument("--width-scale", type=int, default=1,
+                    help="divide all UNet widths by this (1 = flagship "
+                         "reference width; >1 for quick smoke runs)")
     args = ap.parse_args()
 
     if args.max_evals:
@@ -192,6 +196,7 @@ def main():
                 encoder_reuse=args.encoder_reuse,
                 decoder_reuse_depth=args.decoder_reuse_depth,
                 dispatch=args.dispatch, n_iters=args.iters,
+                width_scale=args.width_scale,
             )
             print(
                 json.dumps(
@@ -202,6 +207,8 @@ def main():
                         + (f", enc-reuse {args.encoder_reuse}" if args.encoder_reuse > 1 else "")
                         + (f", dec-reuse {args.decoder_reuse_depth}"
                            if args.decoder_reuse_depth else "")
+                        + (f", width/{args.width_scale}"
+                           if args.width_scale > 1 else "")
                         + ")",
                         "value": round(imgs_per_sec, 4),
                         "unit": "images/sec/chip",
