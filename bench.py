@@ -81,12 +81,12 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
     if dispatch == "scan":
         # Default: scan the restore over n_iters keys INSIDE one XLA program,
         # so the whole measurement is a single dispatch + a single scalar
-        # sync. This measures CHIP throughput. The tunneled dev host pays a
-        # 10–150 ms round-trip per dispatch (it varies session to session:
-        # the same HLO measured 202 img/s on a fast-tunnel day and 90 on a
-        # slow one under per-call dispatch; --max-evals 1, with 14x less
-        # compute, moved it only to 101 — pure dispatch bound). A production
-        # host drives the chip locally and pays ~none of that.
+        # sync. This measures CHIP throughput. Session-to-session variance
+        # through the tunneled dev host is real and large: the same scanned
+        # HLO measured 216 img/s in one session and 90 in another (2026-08-18
+        # morning queue — every config that session, including a 1-eval
+        # restore, ran ~150 ms/restore; a degraded remote executor, not this
+        # code). Re-measure before trusting any cross-session comparison.
         n_iters = n_iters or 64
         run = sampler.build_run(steps, stride, encoder_reuse, decoder_reuse_depth)
         eta = jnp.float32(preset.eta)
@@ -94,8 +94,16 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
 
         @jax.jit
         def run_many(params, y, keys):
+            # Each iteration's input depends on the previous iteration's
+            # output (a +0-scale perturbation). Without this, configs whose
+            # restore is key-independent (e.g. --max-evals 1: the final solver
+            # step is a pure consistency projection, no noise) scan 64
+            # IDENTICAL restores and XLA hoists the whole restore out of the
+            # scan — measured 22,000 img/s, i.e. nothing (observed 2026-08-18;
+            # one UNet forward alone is 9 ms at this shape).
             def body(tot, k):
-                out = run(params, y, quality, k, eta, eta_b)
+                out = run(params, y + tot * jnp.float32(1e-12), quality, k,
+                          eta, eta_b)
                 return tot + jnp.sum(out), None
 
             tot, _ = jax.lax.scan(body, jnp.float32(0), keys)
@@ -103,9 +111,12 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
 
         keys = jax.random.split(jax.random.PRNGKey(42), n_iters)
         sync(run_many(params, y, keys))  # compile + warmup
-        t0 = time.perf_counter()
-        sync(run_many(params, y, keys))
-        dt = (time.perf_counter() - t0) / n_iters
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(run_many(params, y, keys))
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts) / n_iters
         return batch / dt, dt
 
     # --dispatch pipelined: one host dispatch per restore call, all enqueued

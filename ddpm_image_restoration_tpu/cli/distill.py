@@ -71,6 +71,9 @@ def main(argv=None):
                     help="learning rate (0 = the codec preset's training "
                          "value; distillation fine-tunes, so ~10x lower is "
                          "a good start)")
+    ap.add_argument("--ckpt-interval", type=int, default=1,
+                    help="minimum epochs between checkpoint saves (the last "
+                         "epoch always saves)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
     configure_jax_cache(getattr(args, "platform", None))

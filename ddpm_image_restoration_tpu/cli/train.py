@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="EMA of params for validation/serving (e.g. 0.999); "
                          "0 = off (reference behaviour)")
+    ap.add_argument("--ckpt-interval", type=int, default=1,
+                    help="minimum epochs between checkpoint saves (full-state "
+                         "saves can dominate wall time on slow disks/tunneled "
+                         "devices; the last epoch always saves)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
                     help="on crash, resume from the last checkpoint up to N times "

@@ -214,6 +214,12 @@ class TrainConfig:
     data_dir: str = "./ILSVRC2012_img_val"     # webp_training.py:61
     checkpoint_dir: str = "./checkpoints"
     viz_every: int = 5                         # webp_training.py:808-812
+    # Minimum epochs between checkpoint saves (the last epoch always saves).
+    # Early training improves val-PSNR every epoch, and a full-state save
+    # (params + optimizer + EMA) through a slow disk or a tunneled device can
+    # take 10-100x the epoch's compute time (observed: 9-110 s Orbax waits vs
+    # 4-12 s epochs on the axon tunnel). 1 = reference behaviour.
+    ckpt_min_interval: int = 1
     # 80/10/10 split (webp_training.py:64-71); AVIF eval seeds with 42 (avif_inference.py:830)
     split_fracs: Tuple[float, float, float] = (0.8, 0.1, 0.1)
     split_seed: int = 42

@@ -243,7 +243,8 @@ def distill_model(
     logger = MetricLogger(cfg.checkpoint_dir)
     sampler = DDRMSampler(model, preset, cfg.consistency_mode)
     rng = jax.random.PRNGKey(cfg.seed + 2)
-    best_psnr = -float("inf")
+    best_psnr = -float("inf")  # best SAVED (see train/loop.py rate-limiting)
+    last_save_epoch = -(10 ** 9)
 
     for epoch in range(start_epoch, epochs):
         t_start = time.time()
@@ -273,8 +274,12 @@ def distill_model(
         if verbose:
             print(logger.summary(epoch, prefix=f"{preset.name}-distill "))
 
-        if val["val_psnr"] > best_psnr or epoch % 10 == 0 or epoch == epochs - 1:
+        due = epoch - last_save_epoch >= cfg.ckpt_min_interval
+        if (due and (val["val_psnr"] > best_psnr or epoch % 10 == 0)) or (
+            epoch == epochs - 1
+        ):
             best_psnr = max(best_psnr, val["val_psnr"])
+            last_save_epoch = epoch
             ckpt.save(epoch, state, {"epoch": epoch, **val})
 
     ckpt.wait()

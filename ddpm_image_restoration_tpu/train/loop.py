@@ -152,7 +152,11 @@ def train_model(
     logger = MetricLogger(cfg.checkpoint_dir)
     sampler = DDRMSampler(model, preset, cfg.consistency_mode)
     rng = jax.random.PRNGKey(cfg.seed + 1)
+    # best_psnr tracks the best SAVED checkpoint (not the global best), so a
+    # save skipped by ckpt_min_interval is retried as soon as the interval
+    # elapses and val-PSNR still beats what is on disk.
     best_psnr = -float("inf")
+    last_save_epoch = -(10 ** 9)
 
     for epoch in range(start_epoch, epochs):
         t_start = time.time()
@@ -173,11 +177,16 @@ def train_model(
             print(logger.summary(epoch, prefix=f"{preset.name} "))
 
         # save on a new best val-PSNR (reference best-checkpointing,
-        # webp_training.py:794-804), plus periodically for resume — async
-        # Orbax saves of a 100MB+ state every epoch otherwise dominate wall
-        # time on slow disks
-        if val["val_psnr"] > best_psnr or epoch % 10 == 0 or epoch == epochs - 1:
+        # webp_training.py:794-804), plus periodically for resume — but at
+        # most every cfg.ckpt_min_interval epochs: early training improves
+        # every epoch and full-state saves can dominate wall time (see
+        # TrainConfig.ckpt_min_interval)
+        due = epoch - last_save_epoch >= cfg.ckpt_min_interval
+        if (due and (val["val_psnr"] > best_psnr or epoch % 10 == 0)) or (
+            epoch == epochs - 1
+        ):
             best_psnr = max(best_psnr, val["val_psnr"])
+            last_save_epoch = epoch
             ckpt.save(epoch, state, {"epoch": epoch, **val})
 
         save_training_curves(

@@ -30,25 +30,28 @@ run bench_maxevals2 python bench.py --max-evals 2
 # 3) Teacher -> distilled student quality (synthetic, production arch)
 TEACH=artifacts/q_teacher_webp
 STUD=artifacts/q_student_webp
+# width/2 + 512 images is the PROVEN recipe (results/r1_*_synthetic);
+# full width halved epoch count under save stalls and undertrained (NOTES.md)
 run teacher python -m ddpm_image_restoration_tpu.cli.train \
-    --codec webp --synthetic 256 --synthetic-kind dead_leaves --epochs 60 \
-    --attn-max-res 32 --ema-decay 0.999 --checkpoint-dir "$TEACH"
+    --codec webp --synthetic 512 --synthetic-kind dead_leaves --epochs 60 \
+    --width-scale 2 --attn-max-res 32 --ema-decay 0.999 --ckpt-interval 5 \
+    --checkpoint-dir "$TEACH"
 run teacher_eval python -m ddpm_image_restoration_tpu.cli.evaluate \
-    --codec webp --synthetic 64 --synthetic-seed 9 --attn-max-res 32 \
+    --codec webp --synthetic 64 --synthetic-seed 99 --width-scale 2 --attn-max-res 32 \
     --use-ema --stride 5 --encoder-reuse 2 --no-fid \
     --checkpoint-dir "$TEACH" --output-dir "$OUT/eval_teacher"
 run distill python -m ddpm_image_restoration_tpu.cli.distill \
-    --codec webp --synthetic 256 --synthetic-kind dead_leaves --epochs 30 \
-    --attn-max-res 32 --teacher-dir "$TEACH" --checkpoint-dir "$STUD" \
-    --n-eval 2 --progressive --lr 2e-5
+    --codec webp --synthetic 512 --synthetic-kind dead_leaves --epochs 30 \
+    --width-scale 2 --attn-max-res 32 --teacher-dir "$TEACH" --checkpoint-dir "$STUD" \
+    --n-eval 2 --lr 2e-5 --ema-decay 0.999 --ckpt-interval 5
 run student_eval python -m ddpm_image_restoration_tpu.cli.evaluate \
-    --codec webp --synthetic 64 --synthetic-seed 9 --attn-max-res 32 \
-    --max-evals 2 --no-fid \
+    --codec webp --synthetic 64 --synthetic-seed 99 --width-scale 2 --attn-max-res 32 \
+    --use-ema --max-evals 2 --no-fid \
     --checkpoint-dir "$STUD" --output-dir "$OUT/eval_student"
 
 # 4) Dihedral ensemble quality check on the teacher
 run ensemble_eval python -m ddpm_image_restoration_tpu.cli.evaluate \
-    --codec webp --synthetic 64 --synthetic-seed 9 --attn-max-res 32 \
+    --codec webp --synthetic 64 --synthetic-seed 99 --width-scale 2 --attn-max-res 32 \
     --use-ema --stride 5 --encoder-reuse 2 --ensemble 4 --no-fid \
     --checkpoint-dir "$TEACH" --output-dir "$OUT/eval_ensemble4"
 

@@ -236,3 +236,21 @@ def test_checkpoint_retention_keeps_latest_and_best(tmp_path):
     _, meta = m2.restore_best({"w": np.zeros(4)})
     assert meta["epoch"] == 1
     m2.close()
+
+
+def test_ckpt_min_interval_rate_limits_saves(tmp_path):
+    """With ckpt_min_interval=3 a 5-epoch run (val-PSNR typically improving
+    every epoch at this scale) must not save 5 full states: epoch 0, at most
+    one mid-run save once the interval elapses, and the final epoch."""
+    from ddpm_image_restoration_tpu.train.loop import train_model
+
+    cfg = tiny_cfg(tmp_path / "run", epochs=5, steps=20, ckpt_min_interval=3)
+    ds = SyntheticImageDataset(10, 16)
+    train_model(cfg, dataset=ds, epochs=5, val_batch=2, verbose=False)
+    saved = sorted(
+        int(p.name) for p in (tmp_path / "run").iterdir() if p.name.isdigit()
+    )
+    assert 4 in saved  # last epoch always saves
+    assert len(saved) <= 3
+    for a, b in zip(saved, saved[1:]):
+        assert b - a >= 3 or b == 4
