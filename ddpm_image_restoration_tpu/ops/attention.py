@@ -8,7 +8,9 @@ O((HW)^2) memory. TPU-native treatment:
               tiles the matmuls onto the MXU; fine up to a few thousand tokens.
   * 'flash' — blockwise Pallas kernel (ops/pallas/flash_attention.py) that
               never materialises the [T,T] score matrix; required headroom for
-              the 128x128 (16384-token) configuration.
+              the 128x128 (16384-token) configuration. Differentiable (custom
+              VJP with blockwise backward kernels), so it is valid for
+              training, not just the sampler.
 
 Inputs are [B, T, H, D] (batch, tokens, heads, head_dim).
 """

@@ -1,11 +1,8 @@
 #!/usr/bin/env bash
-# Follow-up on-chip queue (after scripts/onchip_queue.sh): the scan-dispatch
-# bench modes, the reworked Pallas block-DCT kernel decision, a fresh per-op
-# profile of the production config, and --protect validation at near-lossless
-# qualities on the queue-1 teacher checkpoint.
-# SERIALIZE: one TPU job at a time (see onchip_queue.sh header).
-#
-# Usage: bash scripts/onchip_queue2.sh [results_dir]
+# Follow-up on-chip queue: flash-attention backward validation, a timed
+# block-DCT compile probe (timeout vs fast-fail through the remote
+# compiler), training-with-flash smoke, and a restore profile.
+# SERIALIZE: run only after scripts/onchip_queue.sh has finished.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-results/onchip_queue2_$(date +%m%d)}"
@@ -13,35 +10,42 @@ mkdir -p "$OUT"
 run() {
     local name="$1"; shift
     echo "=== $name ==="
-    if timeout 3000 "$@" 2>&1 | tee "$OUT/$name.log" | tail -3; then
+    if timeout 3000 "$@" 2>&1 | tee "$OUT/$name.log" | tail -4; then
         echo "=== $name OK ==="
     else
         echo "=== $name FAILED (see $OUT/$name.log) ==="
     fi
 }
 
-# 1) Chip-throughput headline: scanned dispatch (new default) vs pipelined
-run bench_scan python bench.py
-run bench_pipelined python bench.py --dispatch pipelined
+# 1) Flash backward: parity + timing on the real chip
+run flash_bwd python -u scripts/onchip_flash_bwd.py
 
-# 2) Reworked VMEM Pallas block-DCT vs the kron default (full-pipeline only)
-DDPM_IR_DCT_IMPL=pallas run bench_scan_pallas_dct python bench.py
+# 2) Training WITH the flash kernel engaged (T=1024 at the 32^2 level needs
+#    width-scale 1; use 64^2 images, full attention -> T=4096 top level)
+run train_flash python -m ddpm_image_restoration_tpu.cli.train \
+    --codec webp --synthetic 32 --epochs 2 --attn flash --attn-max-res 64 \
+    --batch-size 4 --ckpt-interval 99 \
+    --checkpoint-dir "$OUT/train_flash_ckpt" --no-resume
 
-# 3) Fresh per-op profile of the production restore config
-run profile python scripts/profile_restore.py --size 128 --batch 16 \
-    --steps 10 --stride 5 --encoder-reuse 2 --attn-max-res 32 --attn flash
+# 3) Block-DCT compile probe: how long until the remote compiler rejects it?
+run dct_probe python -u -c "
+import time
+from ddpm_image_restoration_tpu.cli.common import configure_jax_cache
+configure_jax_cache()
+import jax.numpy as jnp
+from ddpm_image_restoration_tpu.ops.pallas.block_dct import block_dct_nhwc
+x = jnp.ones((2, 128, 128, 64), jnp.bfloat16)
+t0 = time.perf_counter()
+try:
+    out = block_dct_nhwc(x, 8)
+    float(jnp.sum(out.astype(jnp.float32)))
+    print(f'COMPILED+RAN in {time.perf_counter()-t0:.1f}s')
+except Exception as e:
+    print(f'FAILED after {time.perf_counter()-t0:.1f}s: {type(e).__name__}: {str(e)[:200]}')
+"
 
-# 4) Near-lossless protection: teacher eval at q70/q90 with and without
-#    --protect (quality-gated blend; LO HI = full-protect / no-protect bounds)
-TEACH=artifacts/q_teacher_webp
-run eval_hi_q python -m ddpm_image_restoration_tpu.cli.evaluate \
-    --codec webp --synthetic 64 --synthetic-seed 9 --attn-max-res 32 \
-    --use-ema --stride 5 --encoder-reuse 2 --no-fid --qualities 70 90 \
-    --checkpoint-dir "$TEACH" --output-dir "$OUT/eval_hi_q"
-run eval_hi_q_protect python -m ddpm_image_restoration_tpu.cli.evaluate \
-    --codec webp --synthetic 64 --synthetic-seed 9 --attn-max-res 32 \
-    --use-ema --stride 5 --encoder-reuse 2 --no-fid --qualities 70 90 \
-    --protect 60 95 \
-    --checkpoint-dir "$TEACH" --output-dir "$OUT/eval_hi_q_protect"
+# 4) Restore profile at the current production config (next-lever hunt)
+run profile python -u scripts/profile_restore.py \
+    --batch 16 --steps 70 --stride 5 --attn-max-res 32 --encoder-reuse 2
 
 echo "queue2 done -> $OUT"

@@ -56,3 +56,42 @@ def test_softmax_scale_uses_real_head_dim(rng):
     ref = jax.nn.dot_product_attention(q, k, v)
     out = flash_attention(q, k, v, interpret="always")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "b,t,h,d",
+    [
+        (2, 300, 2, 64),   # single-block backward, T padding + lane padding
+        (1, 1300, 2, 16),  # multi-block backward (512² blocks), both paddings
+    ],
+)
+def test_grads_match_xla(rng, b, t, h, d):
+    """custom_vjp backward kernels vs autodiff through the XLA path."""
+    q, k, v = _qkv(rng, b, t, h, d)
+    w = jnp.asarray(rng.normal(0, 1, q.shape).astype(np.float32))
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * w)
+
+    ref = jax.grad(loss(jax.nn.dot_product_attention), argnums=(0, 1, 2))(q, k, v)
+    out = jax.grad(
+        loss(lambda q, k, v: flash_attention(q, k, v, interpret="always")),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g, r, name in zip(out, ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-3, rtol=5e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_grads_bf16_dtype(rng):
+    q, k, v = _qkv(rng, 1, 256, 2, 32)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    g = jax.grad(
+        lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, interpret="always").astype(jnp.float32)
+        ),
+        argnums=(0, 1, 2),
+    )(qb, kb, vb)
+    assert all(x.dtype == jnp.bfloat16 for x in g)
