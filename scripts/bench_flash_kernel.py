@@ -52,9 +52,15 @@ def main():
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--xla", action="store_true", help="also time the XLA path")
+    ap.add_argument("--bwd", action="store_true",
+                    help="time fwd+bwd through the custom VJP instead "
+                         "(block sweep applies to the BACKWARD kernels)")
     args = ap.parse_args()
 
-    from ddpm_image_restoration_tpu.ops.pallas.flash_attention import _flash_bhtd
+    from ddpm_image_restoration_tpu.ops.pallas.flash_attention import (
+        _flash_bhtd,
+        _flash_bhtd_bwd,
+    )
 
     rng = np.random.default_rng(0)
     shape = (args.b * args.heads, args.t, 128)  # lane-padded D
@@ -69,6 +75,33 @@ def main():
     # real useful FLOPs (2 matmuls over real D) and padded FLOPs
     flops_real = 2 * 2 * shape[0] * args.t * args.t * args.d
     flops_pad = 2 * 2 * shape[0] * args.t * args.t * 128
+
+    if args.bwd:
+        # backward = 5 [T,T]xD-class matmuls (S, dP, dV, dK, dQ)
+        flops_real = flops_real * 5 // 2
+        flops_pad = flops_pad * 5 // 2
+        o, lse = _flash_bhtd(q, k, v, real_d=args.d, save_lse=True)
+        do = mk() * mask
+        for blk in (256, 512, 1024):
+            if args.t % blk:
+                continue
+            fn = functools.partial(
+                lambda q, k, v, blk: _flash_bhtd_bwd(
+                    q, k, v, o, lse, do, real_d=args.d, block_q=blk, block_k=blk
+                )[0],
+                blk=blk,
+            )
+            try:
+                dt = scan_time(fn, q, k, v, args.iters)
+            except Exception as e:
+                print(f"bwd block={blk:5d}: FAILED {type(e).__name__}")
+                continue
+            print(
+                f"bwd block={blk:5d}: {dt * 1e3:8.2f} ms  "
+                f"{flops_real / dt / 1e12:6.2f} real-TF/s  "
+                f"{flops_pad / dt / 1e12:6.2f} padded-TF/s"
+            )
+        return
 
     for bq, bk in ((256, 512), (512, 512), (512, 1024), (1024, 1024), (256, 1024)):
         if args.t % max(bq, bk):

@@ -27,6 +27,18 @@ run train_flash python -m ddpm_image_restoration_tpu.cli.train \
     --batch-size 4 --ckpt-interval 99 \
     --checkpoint-dir "$OUT/train_flash_ckpt" --no-resume
 
+# 2b) The capability the backward unlocks: 128^2 FULL-attention training
+#     (16384 tokens in every ResAttn block; naive-attention autodiff keeps
+#     [T,T] residuals — ~4 GB per block — and cannot run at all)
+run train_flash128 python -m ddpm_image_restoration_tpu.cli.train \
+    --codec webp --synthetic 8 --image-size 128 --epochs 1 --attn flash \
+    --attn-max-res 1024 --batch-size 2 --remat --ckpt-interval 99 \
+    --checkpoint-dir "$OUT/train_flash128_ckpt" --no-resume
+
+# 2c) Backward-kernel block sweep at the two parity shapes
+run flash_bwd_blocks16k python -u scripts/bench_flash_kernel.py --bwd --t 16384 --b 2 --iters 4
+run flash_bwd_blocks4k  python -u scripts/bench_flash_kernel.py --bwd --t 4096 --d 32 --iters 8
+
 # 3) Block-DCT compile probe: how long until the remote compiler rejects it?
 run dct_probe python -u -c "
 import time
