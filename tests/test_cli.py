@@ -157,3 +157,24 @@ def test_train_cli_bad_flags():
 
     with pytest.raises(SystemExit):
         main(["--codec", "gif"])
+
+
+@pytest.mark.slow
+def test_restore_tile_mode_composes_with_dp(tmp_path):
+    """Tile-parallel native-resolution restore: --size-mode tile batches of
+    tiles flow through the --dp sharded restorer (with_dp pads the tile
+    batch to the mesh size), so one large image scales out over the mesh."""
+    from ddpm_image_restoration_tpu.cli.restore import main
+
+    src = tmp_path / "photo.png"
+    rng = np.random.default_rng(3)
+    Image.fromarray(rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)).save(src)
+    out = tmp_path / "out"
+    main([
+        str(src), "--codec", "webp", *TINY_FLAGS, "--random-init",
+        "--quality", "30", "--steps", "4", "--output-dir", str(out),
+        "--size-mode", "tile", "--tile-overlap", "16", "--tile-batch", "3",
+        "--dp", "2",
+    ])
+    img = np.asarray(Image.open(out / "photo_restored.png"))
+    assert img.shape == (40, 60, 3)
