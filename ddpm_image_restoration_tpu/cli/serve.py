@@ -75,6 +75,11 @@ def main(argv=None):
                          "decoder stages across each reuse group, "
                          "recomputing only the last N high-resolution "
                          "stages + head (DeepCache-style)")
+    ap.add_argument("--protect", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="quality-gated blend protecting near-lossless inputs "
+                         "(production recommendation with --stride 5: "
+                         "--protect 70 100, see results/r1_webp_attn32)")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--poll-seconds", type=float, default=1.0)
     ap.add_argument("--once", action="store_true", help="drain the directory and exit")
@@ -229,6 +234,7 @@ def main(argv=None):
                 return np.asarray(
                     sampler.sample(params, jnp.asarray(batch), q,
                                    it, key=sub, stride=stride_for(it),
+                                   protect=tuple(args.protect) if args.protect else None,
                                    encoder_reuse=args.encoder_reuse,
                                    decoder_reuse_depth=args.decoder_reuse_depth)
                 )
@@ -262,6 +268,7 @@ def main(argv=None):
         q, it = quality_for([os.path.join(args.watch, f) for f in batch_files])
         out = sampler.sample(params, place(imgs), q, it,
                              key=sub, stride=stride_for(it),
+                             protect=tuple(args.protect) if args.protect else None,
                              encoder_reuse=args.encoder_reuse,
                              decoder_reuse_depth=args.decoder_reuse_depth)
         return batch_files, n, out
