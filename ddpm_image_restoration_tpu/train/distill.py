@@ -128,7 +128,11 @@ def make_distill_step(model, cfg: TrainConfig, dcfg: DistillConfig, quality: int
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
         state = state.apply_gradients(grads=grads)
         if cfg.ema_decay > 0:
-            d = cfg.ema_decay
+            # warmed-up decay — same rationale as train/steps.py (here the
+            # accumulator starts at the TEACHER params, a good init, but the
+            # ramp costs nothing: current params also start there)
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
             state = state.replace(
                 ema_params=jax.tree_util.tree_map(
                     lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),

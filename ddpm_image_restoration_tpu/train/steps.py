@@ -88,7 +88,15 @@ def make_train_step(model, cfg: TrainConfig) -> Callable:
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
         state = state.apply_gradients(grads=grads)
         if cfg.ema_decay > 0:
-            d = cfg.ema_decay
+            # Warmed-up decay min(d, (1+t)/(10+t)): the accumulator starts at
+            # the RANDOM init, and a flat d=0.999 keeps 0.999^t of it — still
+            # 32% random weights after 1150 steps, which is what made EMA
+            # validation/serving DEGRADE images in results/onchip_queue_0818b
+            # (val-PSNR pinned at 19.87 while the raw params learned fine).
+            # The ramp makes early EMA a running average (no init bias) and
+            # converges to d once t >> 10/(1-d).
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
             state = state.replace(
                 ema_params=jax.tree_util.tree_map(
                     lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),

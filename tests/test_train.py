@@ -111,8 +111,24 @@ def test_ema_update_math_and_checkpoint(tmp_path, rng):
     step = jax.jit(make_train_step(model, cfg))
     prev_params = state.params
     state, _ = step(state, _fake_batch(rng), jax.random.PRNGKey(1))
+    # warmed-up decay: at t=1 the effective decay is min(0.9, 2/11) — early
+    # EMA must shed the random init fast (a flat 0.999 kept 32% of the init
+    # after 1150 steps and made EMA validation degrade images)
+    d1 = min(0.9, 2.0 / 11.0)
     want = jax.tree_util.tree_map(
-        lambda e, p: e * 0.9 + p * 0.1, prev_params, state.params
+        lambda e, p: e * d1 + p * (1 - d1), prev_params, state.params
+    )
+    for w, g in zip(
+        jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(state.ema_params)
+    ):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-6)
+
+    # past the ramp (t >= 10/(1-d)) the configured decay applies exactly
+    state = state.replace(step=jnp.asarray(999, state.step.dtype))
+    prev_ema = state.ema_params
+    state, _ = step(state, _fake_batch(rng), jax.random.PRNGKey(2))
+    want = jax.tree_util.tree_map(
+        lambda e, p: e * 0.9 + p * 0.1, prev_ema, state.params
     )
     for w, g in zip(
         jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(state.ema_params)
