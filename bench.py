@@ -142,6 +142,63 @@ def bench_restore(size: int, batch: int, steps: int, attn_impl: str, quality: in
     return batch / dt, dt
 
 
+def bench_train(size: int, batch: int, attn_impl: str, attn_max_res: int,
+                width_scale: int, n_iters: int, remat: bool = False):
+    """Training-step throughput: scan n_iters jitted train steps (forward +
+    backward + AdamW update) over a device-resident batch inside ONE XLA
+    program. Host-side codec degradation is excluded by design — this is
+    chip compute throughput (the input pipeline overlaps it in training)."""
+    import dataclasses
+
+    from ddpm_image_restoration_tpu.config import ModelConfig, TrainConfig
+    from ddpm_image_restoration_tpu.models import build_model
+    from ddpm_image_restoration_tpu.train.steps import (
+        create_train_state,
+        make_train_step,
+    )
+
+    mcfg = ModelConfig(
+        image_size=size,
+        compute_dtype="bfloat16",
+        attention_impl=attn_impl,
+        attn_max_resolution=attn_max_res,
+        remat=remat,
+    )
+    if width_scale > 1:
+        mcfg = mcfg.scaled(width_scale)
+    cfg = TrainConfig(codec="webp", model=mcfg)
+    model = build_model("webp", mcfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(np.clip(rng.normal(0, 0.4, (batch, size, size, 3)), -1, 1)
+                     .astype(np.float32))
+    xt = jnp.asarray(np.clip(rng.normal(0, 0.45, (batch, size, size, 3)), -1, 1)
+                     .astype(np.float32))
+    t = jnp.asarray(rng.integers(1, cfg.steps, (batch,)).astype(np.int32))
+    batch_d = {"x0": x0, "xt": xt, "t": t}
+
+    @jax.jit
+    def run_many(state, keys):
+        def body(state, k):
+            state, metrics = step(state, batch_d, k)
+            return state, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, keys)
+        return jnp.sum(losses)
+
+    keys = jax.random.split(jax.random.PRNGKey(42), n_iters)
+    float(run_many(state, keys))  # compile + warmup
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_many(state, keys))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts) / n_iters
+    return batch / dt, dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=128)
@@ -187,7 +244,30 @@ def main():
     ap.add_argument("--width-scale", type=int, default=1,
                     help="divide all UNet widths by this (1 = flagship "
                          "reference width; >1 for quick smoke runs)")
+    ap.add_argument("--mode", default="restore", choices=["restore", "train"],
+                    help="train = jitted train-step throughput (fwd+bwd+"
+                         "AdamW, device-resident batch) instead of the "
+                         "restore pipeline")
+    ap.add_argument("--remat", action="store_true",
+                    help="train mode: per-block rematerialization")
     args = ap.parse_args()
+
+    if args.mode == "train":
+        b = args.batch or 16
+        n = args.iters or 32
+        imgs_per_sec, dt = bench_train(
+            args.size, b, args.attn, args.attn_max_res, args.width_scale, n,
+            remat=args.remat,
+        )
+        print(json.dumps({
+            "metric": f"train images/sec/chip at {args.size}^2 "
+            f"(fwd+bwd+AdamW, batch {b}, {args.attn} attn, "
+            f"attn<={args.attn_max_res}^2{', remat' if args.remat else ''})",
+            "value": round(imgs_per_sec, 4),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 4),
+        }))
+        return
 
     if args.max_evals:
         from ddpm_image_restoration_tpu.train.distill import student_stride

@@ -39,6 +39,10 @@ run train_flash128 python -m ddpm_image_restoration_tpu.cli.train \
 run flash_bwd_blocks16k python -u scripts/bench_flash_kernel.py --bwd --t 16384 --b 2 --iters 4
 run flash_bwd_blocks4k  python -u scripts/bench_flash_kernel.py --bwd --t 4096 --d 32 --iters 8
 
+# 2d) Training-step throughput (fwd+bwd+AdamW) on chip
+run bench_train64 python bench.py --mode train --size 64 --attn-max-res 32
+run bench_train128_full python bench.py --mode train --size 128 --attn-max-res 1024 --batch 4 --remat
+
 # 3) Block-DCT compile probe: how long until the remote compiler rejects it?
 run dct_probe python -u -c "
 import time
