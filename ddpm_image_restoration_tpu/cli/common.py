@@ -85,6 +85,7 @@ def train_config_from(args) -> TrainConfig:
         cache_decoded=not getattr(args, "no_cache_decoded", False),
         lr_override=getattr(args, "lr", 0.0),
         ckpt_min_interval=getattr(args, "ckpt_interval", 1),
+        augment=getattr(args, "augment", False),
     )
 
 

@@ -74,6 +74,9 @@ def main(argv=None):
     ap.add_argument("--ckpt-interval", type=int, default=1,
                     help="minimum epochs between checkpoint saves (the last "
                          "epoch always saves)")
+    ap.add_argument("--augment", action="store_true",
+                    help="dihedral-8 augmentation of the clean image before "
+                         "codec degradation")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
     configure_jax_cache(getattr(args, "platform", None))

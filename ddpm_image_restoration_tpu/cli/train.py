@@ -44,6 +44,10 @@ def main(argv=None):
                     help="minimum epochs between checkpoint saves (full-state "
                          "saves can dominate wall time on slow disks/tunneled "
                          "devices; the last epoch always saves)")
+    ap.add_argument("--augment", action="store_true",
+                    help="dihedral-8 augmentation (flips/rotations) of the "
+                         "clean image before codec degradation — helps small "
+                         "datasets; the reference trains unaugmented")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
                     help="on crash, resume from the last checkpoint up to N times "

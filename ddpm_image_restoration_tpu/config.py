@@ -220,6 +220,9 @@ class TrainConfig:
     # take 10-100x the epoch's compute time (observed: 9-110 s Orbax waits vs
     # 4-12 s epochs on the axon tunnel). 1 = reference behaviour.
     ckpt_min_interval: int = 1
+    # Dihedral-8 augmentation of the clean image before codec degradation
+    # (new capability; the reference trains unaugmented). Off by default.
+    augment: bool = False
     # 80/10/10 split (webp_training.py:64-71); AVIF eval seeds with 42 (avif_inference.py:830)
     split_fracs: Tuple[float, float, float] = (0.8, 0.1, 0.1)
     split_seed: int = 42

@@ -90,6 +90,7 @@ class DegradationLoader:
         drop_remainder: bool = True,
         degradation_backend: str = "pil",
         num_workers: int = 0,
+        augment: bool = False,
     ):
         """degradation_backend:
         'pil'              — real codec bitstreams via libjpeg/libwebp/libaom
@@ -119,6 +120,7 @@ class DegradationLoader:
             raise ValueError(degradation_backend)
         self.degradation_backend = degradation_backend
         self.num_workers = num_workers
+        self.augment = augment
 
     def steps_per_epoch(self) -> int:
         if self.drop_remainder:
@@ -130,6 +132,18 @@ class DegradationLoader:
         # order-independent, so parallel workers produce the serial stream.
         rng = np.random.default_rng((self.seed, epoch, batch_idx))
         x0 = np.stack([self.dataset[int(i)] for i in idxs])
+        if self.augment:
+            # dihedral-8 augmentation of the CLEAN image before degradation,
+            # so xt stays the true codec round-trip of the training target
+            # (same rng stream: deterministic + worker-count independent)
+            ks = rng.integers(0, 4, size=len(idxs))
+            fl = rng.integers(0, 2, size=len(idxs))
+            x0 = np.stack([
+                np.ascontiguousarray(
+                    np.rot90(img[:, ::-1] if f else img, int(k), axes=(0, 1))
+                )
+                for img, k, f in zip(x0, ks, fl)
+            ])
         qr = sample_quality_range(rng, epoch, self.preset)
         t = rng.integers(1, self.steps, size=len(idxs))
         quality = quality_for_timestep(t, self.steps, qr)

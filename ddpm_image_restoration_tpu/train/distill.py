@@ -260,6 +260,16 @@ def distill_model(
             # epoch, `b % len` alone would train only the first buckets
             q = qualities[(epoch * n_batches + b) % len(qualities)]
             x0 = np.stack([dataset[int(i)] for i in idxs])
+            if cfg.augment:  # dihedral-8 before degradation (data/pipeline.py)
+                arng = np.random.default_rng((cfg.seed, epoch, b, 23))
+                ks = arng.integers(0, 4, size=len(idxs))
+                fl = arng.integers(0, 2, size=len(idxs))
+                x0 = np.stack([
+                    np.ascontiguousarray(
+                        np.rot90(img[:, ::-1] if f else img, int(k), axes=(0, 1))
+                    )
+                    for img, k, f in zip(x0, ks, fl)
+                ])
             return q, x0, compress_batch(x0, preset.name, q)
 
         for q, x0, y in prefetched_map(make_batch, n_batches, cfg.data_workers):

@@ -106,9 +106,17 @@ def train_model(
     train_idx, val_idx, test_idx = split_indices(
         len(dataset), cfg.split_fracs, cfg.split_seed
     )
+    batch_size = cfg.effective_batch_size
+    if batch_size > len(train_idx):
+        # otherwise drop_remainder yields ZERO batches per epoch: the run
+        # reports loss=nan and silently never trains (observed with
+        # --synthetic 16 against the WebP preset's batch 18)
+        print(f"warning: batch size {batch_size} > {len(train_idx)} training "
+              f"images; clamping to {len(train_idx)}", flush=True)
+        batch_size = len(train_idx)
     loader = DegradationLoader(
-        dataset, train_idx, preset, cfg.effective_batch_size, cfg.steps,
-        seed=cfg.seed, num_workers=cfg.data_workers,
+        dataset, train_idx, preset, batch_size, cfg.steps,
+        seed=cfg.seed, num_workers=cfg.data_workers, augment=cfg.augment,
     )
     if len(val_idx) == 0:  # tiny datasets: fall back to training images
         val_idx = train_idx

@@ -180,3 +180,35 @@ def test_mixed_generator_alternates():
 def test_synthetic_bad_kind():
     with pytest.raises(ValueError):
         SyntheticImageDataset(4, 16, kind="nope")
+
+
+def test_augment_dihedral_before_degradation():
+    """augment=True applies flips/rotations to the CLEAN image and degrades
+    the augmented image (xt = codec(aug(x0))), deterministically."""
+    from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
+    from ddpm_image_restoration_tpu.config import get_preset
+    from ddpm_image_restoration_tpu.data import SyntheticImageDataset
+    from ddpm_image_restoration_tpu.data.pipeline import DegradationLoader
+
+    ds = SyntheticImageDataset(8, 32)
+    mk = lambda aug: DegradationLoader(
+        ds, list(range(8)), get_preset("webp"), batch_size=4, seed=3, augment=aug
+    )
+    plain = next(iter(mk(False).epoch(0)))
+    auged = next(iter(mk(True).epoch(0)))
+    # same underlying images, different orientation for at least one sample
+    assert plain["x0"].shape == auged["x0"].shape
+    assert not np.allclose(plain["x0"], auged["x0"])
+    # each augmented sample is some dihedral variant of the original
+    for orig, aug in zip(plain["x0"], auged["x0"]):
+        variants = []
+        for base in (orig, orig[:, ::-1]):
+            for k in range(4):
+                variants.append(np.rot90(base, k, axes=(0, 1)))
+        assert any(np.allclose(aug, v) for v in variants)
+    # xt is the degradation of the AUGMENTED clean image
+    want_xt = compress_batch(auged["x0"], "webp", auged["quality"])
+    np.testing.assert_allclose(auged["xt"], want_xt, atol=1e-6)
+    # deterministic across loader instances
+    again = next(iter(mk(True).epoch(0)))
+    np.testing.assert_allclose(auged["x0"], again["x0"])
