@@ -132,13 +132,27 @@ class SyntheticImageDataset:
         return img
 
     def _dead_leaves(self, rng: np.random.Generator) -> np.ndarray:
-        s = self.image_size
+        # Rendered at 4x and box-downsampled (the standard dead-leaves
+        # recipe): drawing disks directly on the pixel grid leaves aliased
+        # single-pixel edges everywhere — content so far outside natural
+        # image statistics that WebP q90 only reached ~23 dB on it, leaving
+        # no quality gradient for restoration training to exploit
+        # (results/onchip_queue_0818c/teacher_eval_*.log).
+        ss = 4
+        s = self.image_size * ss
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
         img = np.empty((s, s, 3), np.float32)
         # background leaf (fills whatever stays uncovered)
         img[...] = rng.uniform(-0.8, 0.8, 3)[None, None, :]
         covered = np.zeros((s, s), bool)
-        r_min, r_max = 0.04 * s, 0.7 * s
+        # r_min 0.12: at 0.04 the r^-3 law fills the frame with ~3px disks —
+        # colored noise the codecs cannot represent at ANY quality (WebP
+        # q0->q90 spread of only 7 dB), leaving no restoration signal.
+        # Measured spreads at 64^2: rmin 0.04: 11.5->18.5 dB; 0.12:
+        # 14.9->22.2 dB (still ~7 dB harder than ImageNet-val — dead leaves
+        # is an edge-density stress kind, not a quality-parity proxy; use
+        # kind='waves' for restoration-gain validation runs).
+        r_min, r_max = 0.12 * s, 0.7 * s
         # inverse-CDF sampling of p(r) ∝ r^-3 on [r_min, r_max]
         inv2 = lambda u: 1.0 / np.sqrt(
             (1 - u) / r_min**2 + u / r_max**2
@@ -158,7 +172,8 @@ class SyntheticImageDataset:
             covered |= leaf
             if covered.mean() > 0.995:
                 break
-        return img
+        t = self.image_size
+        return img.reshape(t, ss, t, ss, 3).mean(axis=(1, 3))
 
     def __getitem__(self, idx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 100003 + idx)
