@@ -494,6 +494,31 @@ def estimate_avif_quality(data: Union[bytes, str, os.PathLike]) -> Optional[int]
     return int(np.argmin(np.abs(_AVIF_QIDX_BY_QUALITY - qidx))) + 1
 
 
+def detect_codec(data: Union[bytes, str, os.PathLike]) -> Optional[str]:
+    """Identify the codec of a compressed image from its magic bytes:
+    'jpeg' (SOI marker), 'webp' (RIFF/WEBP fourcc), 'avif' (ISOBMFF ftyp
+    with an avif/avis brand), or None for anything else (PNG, BMP...).
+    Accepts a path or the leading bytes themselves. This is what
+    `--codec auto` on the restore/serve CLIs dispatches on (per file),
+    pairing a unified `--model-codec all` checkpoint with the detected
+    codec's sampler preset."""
+    if isinstance(data, (bytes, bytearray)):
+        head = bytes(data[:32])
+    else:
+        try:
+            with open(data, "rb") as f:
+                head = f.read(32)
+        except OSError:
+            return None
+    if head[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "webp"
+    if head[4:8] == b"ftyp" and (b"avif" in head[8:32] or b"avis" in head[8:32]):
+        return "avif"
+    return None
+
+
 def estimate_quality(path: Union[str, os.PathLike]) -> Optional[int]:
     """Best-effort quality estimate for a compressed image file: exact for
     JPEG (quantization tables) and AVIF (AV1 base_q_idx), approximate for
@@ -501,15 +526,11 @@ def estimate_quality(path: Union[str, os.PathLike]) -> Optional[int]:
     WebP...)."""
     from ddpm_image_restoration_tpu.codecs.quality import estimate_jpeg_quality
 
-    try:
-        with open(path, "rb") as f:
-            head = f.read(16)
-    except OSError:
-        return None
-    if head[:3] == b"\xff\xd8\xff":
+    codec = detect_codec(path)
+    if codec == "jpeg":
         return estimate_jpeg_quality(path)
-    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+    if codec == "webp":
         return estimate_webp_quality(path)
-    if head[4:8] == b"ftyp":
+    if codec == "avif":
         return estimate_avif_quality(path)
     return None

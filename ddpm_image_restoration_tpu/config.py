@@ -131,7 +131,36 @@ _AVIF = CodecPreset(
     eval_qualities=(1, 10, 20, 30, 50, 70, 90),
 )
 
-_PRESETS = {"jpeg": _JPEG, "webp": _WEBP, "avif": _AVIF}
+# The unified multi-codec pipeline (NOT in the reference, which trains one
+# model per codec): a single model trained on a per-sample mix of JPEG / WebP
+# / AVIF degradations, conditioned on a learned codec embedding
+# (ModelConfig.codec_conditioning). Architecture constants follow the JPEG
+# preset (8x8 DCT — the common denominator; WebP's 4x4 VP8 transform and
+# AVIF's learnable transform are codec-specialisations the conditioning
+# replaces). Sampler constants here are only used when a caller does not
+# override them with the target codec's own preset — the CLIs always do
+# (restore/serve/evaluate build the sampler from the DETECTED codec's preset
+# and pass codec_id to the model).
+_ALL = dataclasses.replace(
+    _JPEG,
+    name="all",
+    quality_min=1,
+    val_qualities=(10, 30, 50),
+    eval_qualities=(10, 20, 30, 50, 70),
+)
+
+_PRESETS = {"jpeg": _JPEG, "webp": _WEBP, "avif": _AVIF, "all": _ALL}
+
+# Stable codec-id space for the unified model's conditioning embedding and
+# the per-sample codec column in mixed training batches.
+CODECS = ("jpeg", "webp", "avif")
+
+
+def codec_index(name: str) -> int:
+    try:
+        return CODECS.index(name.lower())
+    except ValueError:
+        raise ValueError(f"unknown codec {name!r}; expected one of {CODECS}")
 
 
 def get_preset(name: str) -> CodecPreset:
@@ -166,6 +195,11 @@ class ModelConfig:
     # the standard lever for 256^2+ training or reference-width large-batch
     # runs that otherwise RESOURCE_EXHAUST. Numerics are identical (tested).
     remat: bool = False
+    # Unified multi-codec model (the 'all' preset): add a learned per-codec
+    # embedding to the time embedding; model methods then REQUIRE a codec_id
+    # ([B] int32 or scalar, see config.CODECS order). build_model('all', ...)
+    # enables this automatically.
+    codec_conditioning: bool = False
 
     def validate(self) -> "ModelConfig":
         """Fail fast on impossible geometry instead of an opaque XLA error."""

@@ -151,6 +151,15 @@ class CodecDiffusionModel(nn.Module):
     def setup(self):
         cfg, preset = self.cfg, self.preset
         self.time_embed = TimeEmbedding(cfg.time_dim)
+        if cfg.codec_conditioning:
+            # Unified multi-codec model: a learned per-codec vector added to
+            # the time embedding (config.CODECS order). The reference trains
+            # one model per codec; this is the single-checkpoint equivalent.
+            from ddpm_image_restoration_tpu.config import CODECS
+
+            self.codec_embed = nn.Embed(
+                len(CODECS), cfg.time_dim, dtype=jnp.float32
+            )
         # cfg.remat: checkpoint each block's activations (recomputed on
         # backward) — the jax.checkpoint HBM<->FLOPs lever for 256^2+ runs.
         # `deterministic` stays a static Python bool through the lifted
@@ -173,11 +182,21 @@ class CodecDiffusionModel(nn.Module):
         )
         self.out_conv = nn.Conv(cfg.in_channels, (3, 3), dtype=jnp.float32)
 
-    def _prep(self, t, compression_level):
+    def _prep(self, t, compression_level, codec_id=None):
         t = jnp.asarray(t, jnp.float32)
         if t.ndim == 0:
             t = t[None]
         t_emb = self.time_embed(t)
+        if self.cfg.codec_conditioning:
+            if codec_id is None:
+                raise ValueError(
+                    "codec_conditioning=True: pass codec_id "
+                    "(config.codec_index of the degradation codec)"
+                )
+            cid = jnp.broadcast_to(
+                jnp.asarray(codec_id, jnp.int32), t.shape
+            )
+            t_emb = t_emb + self.codec_embed(cid)
         if compression_level is None:
             compression_level = t  # webp_training.py:373-374
         return t_emb, compression_level
@@ -188,10 +207,11 @@ class CodecDiffusionModel(nn.Module):
         t: jnp.ndarray,
         compression_level: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        codec_id: Optional[jnp.ndarray] = None,
     ):
         """Encoder + bottleneck -> (skips tuple, bottleneck features)."""
         cfg = self.cfg
-        t_emb, level = self._prep(t, compression_level)
+        t_emb, level = self._prep(t, compression_level, codec_id)
         h = x.astype(jnp.dtype(cfg.compute_dtype))
         skips = []
         for i in range(len(cfg.enc_widths)):
@@ -211,6 +231,7 @@ class CodecDiffusionModel(nn.Module):
         compression_level: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         depth: int = 1,
+        codec_id: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Decoder stages up1..up{n-depth} over cached `encode` output.
 
@@ -222,7 +243,7 @@ class CodecDiffusionModel(nn.Module):
         step-to-step detail — so only those are recomputed per step via
         `decode_shallow`.
         """
-        t_emb, level = self._prep(t, compression_level)
+        t_emb, level = self._prep(t, compression_level, codec_id)
         skips, h = features
         for i in range(len(self._dec_widths) - depth):
             skip = skips[-(i + 1)]
@@ -238,11 +259,12 @@ class CodecDiffusionModel(nn.Module):
         compression_level: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         depth: int = 1,
+        codec_id: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """The last `depth` decoder stages + DCT fusion + head, resuming from
         a (possibly cached) `decode_deep` output."""
         preset = self.preset
-        t_emb, level = self._prep(t, compression_level)
+        t_emb, level = self._prep(t, compression_level, codec_id)
         n = len(self._dec_widths)
         for i in range(n - depth, n):
             skip = skips[-(i + 1)]
@@ -265,15 +287,20 @@ class CodecDiffusionModel(nn.Module):
         t: jnp.ndarray,
         compression_level: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        codec_id: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Decoder + DCT-feature fusion + head over cached `encode` output.
 
         Exactly `decode_shallow(decode_deep(...))` — the split point is a
         no-op on the math, it only exists so the solver can cache the deep
         stages."""
-        h = self.decode_deep(features, t, compression_level, deterministic, depth=0)
+        h = self.decode_deep(
+            features, t, compression_level, deterministic, depth=0,
+            codec_id=codec_id,
+        )
         return self.decode_shallow(
-            h, features[0], t, compression_level, deterministic, depth=0
+            h, features[0], t, compression_level, deterministic, depth=0,
+            codec_id=codec_id,
         )
 
     def __call__(
@@ -282,14 +309,20 @@ class CodecDiffusionModel(nn.Module):
         t: jnp.ndarray,
         compression_level: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        codec_id: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         t = jnp.asarray(t, jnp.float32)
         if t.ndim == 0:
             t = jnp.broadcast_to(t, (x.shape[0],))
-        features = self.encode(x, t, compression_level, deterministic)
-        return self.decode(features, t, compression_level, deterministic)
+        features = self.encode(x, t, compression_level, deterministic, codec_id)
+        return self.decode(features, t, compression_level, deterministic, codec_id)
 
 
 def build_model(codec: str, cfg: Optional[ModelConfig] = None) -> CodecDiffusionModel:
     cfg = (cfg or ModelConfig()).validate()
+    if codec.lower() == "all" and not cfg.codec_conditioning:
+        # the unified multi-codec model is always codec-conditioned
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, codec_conditioning=True)
     return CodecDiffusionModel(preset=get_preset(codec), cfg=cfg)

@@ -195,3 +195,28 @@ def test_avif_quality_estimation(tmp_path):
     imgs[0].save(p, "AVIF", quality=33)
     assert abs(estimate_quality(str(p)) - 33) <= 1
     assert parse_avif_base_q_idx(b"nonsense") is None
+
+
+def test_detect_codec(tmp_path, small_images):
+    """Magic-byte codec detection (--codec auto dispatch): every codec the
+    PIL frontend can write must round-trip through detect_codec; PNG and
+    junk must return None."""
+    from PIL import Image
+
+    from ddpm_image_restoration_tpu.codecs.estimate import detect_codec
+
+    img = Image.fromarray(
+        (np.clip(small_images[0] * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
+    )
+    for codec, fmt in [("jpeg", "JPEG"), ("webp", "WEBP")] + (
+        [("avif", "AVIF")] if pil_codecs.avif_available() else []
+    ):
+        p = tmp_path / f"x_{codec}.bin"
+        img.save(p, format=fmt, quality=50)
+        assert detect_codec(p) == codec
+        assert detect_codec(p.read_bytes()) == codec
+    png = tmp_path / "x.png"
+    img.save(png, format="PNG")
+    assert detect_codec(png) is None
+    assert detect_codec(b"garbage-not-an-image") is None
+    assert detect_codec(tmp_path / "missing.jpg") is None

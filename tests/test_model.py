@@ -156,3 +156,52 @@ def test_remat_identical_outputs_and_grads(small_images):
     assert len(a) == len(b)
     for ga, gb in zip(a, b):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_codec_conditioning_unified_model(small_images):
+    """build_model('all') auto-enables codec conditioning: the param tree
+    gains a codec_embed table, codec_id is REQUIRED, and different codec ids
+    produce different outputs (the whole point of the unified model)."""
+    import dataclasses
+
+    x = jnp.asarray(small_images)
+    t = jnp.full((x.shape[0],), 0.5)
+    model = build_model("all", TINY)
+    assert model.cfg.codec_conditioning
+    cid = jnp.zeros((x.shape[0],), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, codec_id=cid)
+    assert "codec_embed" in params["params"]
+    with pytest.raises(ValueError, match="codec_id"):
+        model.apply(params, x, t)
+    outs = [
+        model.apply(params, x, t, codec_id=jnp.full((x.shape[0],), i, jnp.int32))
+        for i in range(3)
+    ]
+    for o in outs:
+        assert o.shape == x.shape
+    assert float(jnp.abs(outs[0] - outs[1]).mean()) > 1e-7
+    assert float(jnp.abs(outs[1] - outs[2]).mean()) > 1e-7
+    # scalar codec_id broadcasts to the batch
+    o_scalar = model.apply(params, x, t, codec_id=1)
+    np.testing.assert_allclose(
+        np.asarray(o_scalar), np.asarray(outs[1]), atol=1e-6
+    )
+    # single-codec models are unchanged: no codec_embed in their tree
+    plain = build_model("webp", TINY)
+    p2 = plain.init(jax.random.PRNGKey(0), x, t)
+    assert "codec_embed" not in p2["params"]
+    assert not dataclasses.asdict(plain.cfg)["codec_conditioning"]
+
+
+def test_codec_conditioning_encode_decode_split(small_images):
+    """encode/decode with codec_id must equal __call__ with codec_id (the
+    solver's encoder-reuse path needs the conditioned split too)."""
+    x = jnp.asarray(small_images)
+    t = jnp.full((x.shape[0],), 0.5)
+    model = build_model("all", TINY)
+    cid = jnp.ones((x.shape[0],), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, codec_id=cid)
+    full = model.apply(params, x, t, codec_id=cid)
+    feats = model.apply(params, x, t, codec_id=cid, method="encode")
+    split = model.apply(params, feats, t, codec_id=cid, method="decode")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(split), atol=1e-6)
