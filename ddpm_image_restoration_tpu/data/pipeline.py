@@ -148,20 +148,37 @@ class DegradationLoader:
         t = rng.integers(1, self.steps, size=len(idxs))
         quality = quality_for_timestep(t, self.steps, qr)
         quality = np.maximum(quality, self.preset.quality_min)
+        batch = {
+            "x0": x0.astype(np.float32),
+            "t": t.astype(np.int32),
+            "quality": quality.astype(np.int32),
+        }
+        if self.preset.name == "all":
+            # unified multi-codec training: per-sample codec choice (drawn
+            # AFTER the shared fields, so jpeg/webp/avif batch streams are
+            # untouched); the batch carries the conditioning ids
+            from ddpm_image_restoration_tpu.config import CODECS
+
+            codec_ids = rng.integers(0, len(CODECS), size=len(idxs))
+            xt = np.empty_like(x0)
+            for ci, cname in enumerate(CODECS):
+                m = codec_ids == ci
+                if m.any():
+                    xt[m] = self._degrade(x0[m], quality[m], cname)
+            batch["codec_id"] = codec_ids.astype(np.int32)
+        else:
+            xt = self._degrade(x0, quality, self.preset.name)
+        batch["xt"] = xt.astype(np.float32)
+        return batch
+
+    def _degrade(self, x0, quality, codec: str):
         if self.degradation_backend == "native_surrogate":
             from ddpm_image_restoration_tpu.codecs.native import (
                 codec_surrogate_native,
             )
 
-            xt = codec_surrogate_native(x0, np.maximum(quality, 1), self.preset.name)
-        else:
-            xt = compress_batch(x0, self.preset.name, quality)
-        return {
-            "x0": x0.astype(np.float32),
-            "xt": xt.astype(np.float32),
-            "t": t.astype(np.int32),
-            "quality": quality.astype(np.int32),
-        }
+            return codec_surrogate_native(x0, np.maximum(quality, 1), codec)
+        return compress_batch(x0, codec, quality)
 
     def _batch_indices(self, epoch: int):
         order = np.random.default_rng((self.seed, epoch)).permutation(len(self.indices))

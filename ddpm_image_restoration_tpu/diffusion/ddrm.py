@@ -167,7 +167,13 @@ class DDRMSampler:
         preset: CodecPreset,
         consistency_mode: str = "surrogate",
         prediction: str = "direct",
+        codec_id: Optional[int] = None,
     ):
+        """`codec_id`: conditioning index (config.codec_index) for unified
+        multi-codec checkpoints (build_model('all')). The sampler restores
+        one codec per instance, so the id is a constant closed over the
+        compiled solver — pair the TARGET codec's preset (constants +
+        consistency codec) with its codec_id and the 'all' model."""
         self.model = model
         self.preset = preset
         self.consistency_mode = consistency_mode
@@ -176,6 +182,9 @@ class DDRMSampler:
         if prediction not in ("direct", "residual"):
             raise ValueError(prediction)
         self.prediction = prediction
+        self.codec_id = codec_id
+        # kwargs appended to every model.apply; empty for single-codec models
+        self._cond = {} if codec_id is None else {"codec_id": int(codec_id)}
         self._compiled = {}
 
     def _build(
@@ -189,6 +198,7 @@ class DDRMSampler:
         model = self.model
         consistency = self.consistency
         prediction = self.prediction
+        cond = self._cond
 
         @functools.partial(jax.jit, static_argnames=())
         def run(params, y, quality, key, eta, eta_b):
@@ -216,14 +226,15 @@ class DDRMSampler:
                 ddepth = decoder_reuse_depth
 
                 def encode(x_t, t):
-                    return model.apply(params, x_t, t, t, method="encode")
+                    return model.apply(params, x_t, t, t, method="encode", **cond)
 
                 def group_features(feats, t0):
                     """What the group caches: encode output, plus the deep
                     decoder feature when decoder reuse is on."""
                     if ddepth:
                         deep = model.apply(
-                            params, feats, t0, t0, method="decode_deep", depth=ddepth
+                            params, feats, t0, t0, method="decode_deep", depth=ddepth,
+                            **cond,
                         )
                         return (feats[0], deep)
                     return feats
@@ -233,9 +244,9 @@ class DDRMSampler:
                         skips, deep = cached
                         return model.apply(
                             params, deep, skips, t, t,
-                            method="decode_shallow", depth=ddepth,
+                            method="decode_shallow", depth=ddepth, **cond,
                         )
-                    return model.apply(params, cached, t, t, method="decode")
+                    return model.apply(params, cached, t, t, method="decode", **cond)
 
                 def model_step(x_t, cached, i, last, nkey):
                     t = jnp.full((b,), i, jnp.float32) / steps
@@ -288,7 +299,7 @@ class DDRMSampler:
                 key, nkey = jax.random.split(key)
                 t = jnp.full((b,), i, jnp.float32) / steps
 
-                x_theta = model.apply(params, x_t, t, t).astype(jnp.float32)
+                x_theta = model.apply(params, x_t, t, t, **cond).astype(jnp.float32)
                 if prediction == "residual":
                     x_theta = x_t + x_theta
 
@@ -321,10 +332,11 @@ class DDRMSampler:
         preset = self.preset
         model = self.model
         prediction = self.prediction
+        cond = self._cond
 
         @jax.jit
         def predict(params, x_t, t):
-            x_theta = model.apply(params, x_t, t, t).astype(jnp.float32)
+            x_theta = model.apply(params, x_t, t, t, **cond).astype(jnp.float32)
             if prediction == "residual":
                 x_theta = x_t + x_theta
             return x_theta
@@ -339,10 +351,10 @@ class DDRMSampler:
 
         @jax.jit
         def encode(params, x_t, t):
-            feats = model.apply(params, x_t, t, t, method="encode")
+            feats = model.apply(params, x_t, t, t, method="encode", **cond)
             if ddepth:
                 deep = model.apply(
-                    params, feats, t, t, method="decode_deep", depth=ddepth
+                    params, feats, t, t, method="decode_deep", depth=ddepth, **cond
                 )
                 return (feats[0], deep)
             return feats
@@ -352,12 +364,13 @@ class DDRMSampler:
             if ddepth:
                 skips, deep = cached
                 x_theta = model.apply(
-                    params, deep, skips, t, t, method="decode_shallow", depth=ddepth
+                    params, deep, skips, t, t, method="decode_shallow",
+                    depth=ddepth, **cond,
                 ).astype(jnp.float32)
             else:
-                x_theta = model.apply(params, cached, t, t, method="decode").astype(
-                    jnp.float32
-                )
+                x_theta = model.apply(
+                    params, cached, t, t, method="decode", **cond
+                ).astype(jnp.float32)
             if prediction == "residual":
                 x_theta = x_t + x_theta
             return x_theta

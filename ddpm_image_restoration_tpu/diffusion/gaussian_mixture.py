@@ -55,13 +55,16 @@ def svd_structure_preservation(x: jnp.ndarray, k_ratio) -> jnp.ndarray:
 
 
 class GaussianMixtureSampler:
-    def __init__(self, model, preset: CodecPreset):
+    def __init__(self, model, preset: CodecPreset, codec_id=None):
         self.model = model
         self.preset = preset
+        # conditioning index for unified multi-codec models (build_model('all'))
+        self._cond = {} if codec_id is None else {"codec_id": int(codec_id)}
         self._compiled = {}
 
     def _build(self, steps: int, use_phase: bool, use_svd: bool):
         model = self.model
+        cond = self._cond
 
         @jax.jit
         def run(params, y, key, guidance_scale):
@@ -74,7 +77,7 @@ class GaussianMixtureSampler:
                 key, k_noise, k_choice = jax.random.split(key, 3)
                 t = jnp.full((b,), i, jnp.float32) / steps
 
-                pred = model.apply(params, x_t, t, t).astype(jnp.float32)
+                pred = model.apply(params, x_t, t, t, **cond).astype(jnp.float32)
 
                 if use_svd:
                     def guided(p):

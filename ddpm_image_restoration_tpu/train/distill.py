@@ -180,6 +180,12 @@ def distill_model(
 
     epochs = epochs or cfg.epochs
     preset = cfg.preset
+    if preset.name == "all":
+        raise ValueError(
+            "solver distillation is per-codec (the student is trained through "
+            "ONE codec's consistency projection); distill a unified teacher "
+            "once per target codec with --codec jpeg|webp|avif"
+        )
     qualities = tuple(dcfg.qualities) or tuple(preset.val_qualities)
 
     if dataset is None:

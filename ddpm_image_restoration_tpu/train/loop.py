@@ -48,6 +48,21 @@ from ddpm_image_restoration_tpu.utils.logging import MetricLogger
 from ddpm_image_restoration_tpu.utils.viz import save_restoration_grid, save_training_curves
 
 
+def unified_samplers(model, consistency_mode: str) -> Dict[str, DDRMSampler]:
+    """One DDRMSampler per real codec for a unified ('all') model: each pairs
+    that codec's preset (sampler constants + consistency codec) with its
+    conditioning id. Build ONCE and reuse — each sampler caches its compiled
+    solver."""
+    from ddpm_image_restoration_tpu.config import CODECS, codec_index, get_preset
+
+    return {
+        c: DDRMSampler(
+            model, get_preset(c), consistency_mode, codec_id=codec_index(c)
+        )
+        for c in CODECS
+    }
+
+
 def validate_by_restoration(
     model,
     params,
@@ -60,26 +75,44 @@ def validate_by_restoration(
     """Full-sampler validation at the preset's val qualities
     (validate_ddrm_* webp_training.py:540-599). `n_eval` caps the model
     evaluations per restore (distilled-student validation: the stride is
-    derived per quality, train/distill.py `student_stride`)."""
+    derived per quality, train/distill.py `student_stride`).
+
+    Unified ('all') training validates across codecs instead of across
+    qualities: one restore per real codec at that codec's middle val quality
+    (same sampler-run count as single-codec validation), averaged. Pass
+    `sampler` as the dict from `unified_samplers` to reuse compiles."""
     preset = cfg.preset
-    sampler = sampler or DDRMSampler(model, preset, cfg.consistency_mode)
     key = key if key is not None else jax.random.PRNGKey(0)
     totals = {"psnr": 0.0, "ssim": 0.0}
     x0 = jnp.asarray(val_images)
     wrapped = {"params": params} if "params" not in params else params
-    for quality in preset.val_qualities:
-        y = jnp.asarray(compress_batch(val_images, preset.name, quality))
-        init_t = init_timestep_for_quality(quality, cfg.steps, preset)
+
+    if preset.name == "all":
+        samplers = (
+            sampler if isinstance(sampler, dict)
+            else unified_samplers(model, cfg.consistency_mode)
+        )
+        cases = []
+        for c, s in samplers.items():
+            cp = s.preset
+            cases.append((s, cp, c, cp.val_qualities[len(cp.val_qualities) // 2]))
+    else:
+        one = sampler or DDRMSampler(model, preset, cfg.consistency_mode)
+        cases = [(one, preset, preset.name, q) for q in preset.val_qualities]
+
+    for smp, cp, codec_name, quality in cases:
+        y = jnp.asarray(compress_batch(val_images, codec_name, quality))
+        init_t = init_timestep_for_quality(quality, cfg.steps, cp)
         stride = 1
         if n_eval is not None:
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
             stride = student_stride(init_t, n_eval)
         key, sub = jax.random.split(key)
-        restored = sampler.sample(wrapped, y, quality, init_t, key=sub, stride=stride)
+        restored = smp.sample(wrapped, y, quality, init_t, key=sub, stride=stride)
         totals["psnr"] += float(psnr(restored, x0))
         totals["ssim"] += float(ssim_metric(restored, x0))
-    n = len(preset.val_qualities)
+    n = len(cases)
     return {"val_psnr": totals["psnr"] / n, "val_ssim": totals["ssim"] / n}
 
 
@@ -158,7 +191,12 @@ def train_model(
                 print(f"resumed from epoch {start_epoch - 1}")
 
     logger = MetricLogger(cfg.checkpoint_dir)
-    sampler = DDRMSampler(model, preset, cfg.consistency_mode)
+    if cfg.codec == "all":
+        sampler = unified_samplers(model, cfg.consistency_mode)
+        viz_sampler = sampler["webp"]  # fixed codec for the epoch viz grids
+    else:
+        sampler = DDRMSampler(model, preset, cfg.consistency_mode)
+        viz_sampler = sampler
     rng = jax.random.PRNGKey(cfg.seed + 1)
     # best_psnr tracks the best SAVED checkpoint (not the global best), so a
     # save skipped by ckpt_min_interval is retried as soon as the interval
@@ -201,13 +239,14 @@ def train_model(
             os.path.join(cfg.checkpoint_dir, "curves", "training.png"), logger.history
         )
         if epoch % cfg.viz_every == 0:
-            q = preset.val_qualities[0]
-            y = compress_batch(val_images, preset.name, q)
-            restored = sampler.sample(
+            vp = viz_sampler.preset
+            q = vp.val_qualities[0]
+            y = compress_batch(val_images, vp.name, q)
+            restored = viz_sampler.sample(
                 {"params": eval_params},
                 jnp.asarray(y),
                 q,
-                init_timestep_for_quality(q, cfg.steps, preset),
+                init_timestep_for_quality(q, cfg.steps, vp),
             )
             save_restoration_grid(
                 os.path.join(cfg.checkpoint_dir, "viz", f"epoch_{epoch:04d}.png"),

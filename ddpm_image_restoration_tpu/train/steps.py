@@ -58,7 +58,8 @@ def create_train_state(
 ) -> TrainState:
     sz = cfg.model.image_size
     dummy = jnp.zeros((1, sz, sz, cfg.model.in_channels), jnp.float32)
-    params = model.init(rng, dummy, jnp.zeros(1))["params"]
+    cond = {"codec_id": 0} if model.cfg.codec_conditioning else {}
+    params = model.init(rng, dummy, jnp.zeros(1), **cond)["params"]
     tx = make_optimizer(cfg, steps_per_epoch)
     ema = jax.tree_util.tree_map(jnp.copy, params) if cfg.ema_decay > 0 else None
     return TrainState.create(
@@ -73,6 +74,8 @@ def make_train_step(model, cfg: TrainConfig) -> Callable:
 
     def train_step(state: TrainState, batch, rng: jax.Array):
         t_norm = batch["t"].astype(jnp.float32) / steps
+        # unified multi-codec batches carry per-sample conditioning ids
+        cond = {"codec_id": batch["codec_id"]} if "codec_id" in batch else {}
 
         def compute_loss(params):
             pred = model.apply(
@@ -82,6 +85,7 @@ def make_train_step(model, cfg: TrainConfig) -> Callable:
                 t_norm,
                 deterministic=False,
                 rngs={"dropout": rng},
+                **cond,
             )
             return loss_fn(batch["xt"] + pred, batch["x0"])
 
@@ -118,7 +122,8 @@ def make_eval_loss_step(model, cfg: TrainConfig) -> Callable:
     @jax.jit
     def eval_step(params, batch):
         t_norm = batch["t"].astype(jnp.float32) / steps
-        pred = model.apply({"params": params}, batch["xt"], t_norm, t_norm)
+        cond = {"codec_id": batch["codec_id"]} if "codec_id" in batch else {}
+        pred = model.apply({"params": params}, batch["xt"], t_norm, t_norm, **cond)
         return loss_fn(batch["xt"] + pred, batch["x0"])
 
     return eval_step

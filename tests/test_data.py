@@ -212,3 +212,37 @@ def test_augment_dihedral_before_degradation():
     # deterministic across loader instances
     again = next(iter(mk(True).epoch(0)))
     np.testing.assert_allclose(auged["x0"], again["x0"])
+
+
+def test_degradation_loader_unified_all():
+    """preset 'all': per-sample codec mix with conditioning ids; shared
+    fields (x0/t/quality) identical to a single-codec loader at the same
+    (seed, epoch, batch) — the codec draw happens after them."""
+    from ddpm_image_restoration_tpu.config import CODECS
+
+    ds = SyntheticImageDataset(24, 16)
+    loader = DegradationLoader(
+        ds, np.arange(24), get_preset("all"), batch_size=12, steps=100, seed=0
+    )
+    b = next(iter(loader.epoch(0)))
+    assert b["codec_id"].shape == (12,) and b["codec_id"].dtype == np.int32
+    assert set(np.unique(b["codec_id"])) <= set(range(len(CODECS)))
+    assert len(np.unique(b["codec_id"])) >= 2  # 12 draws: mixing is real
+    assert np.abs(b["x0"] - b["xt"]).mean() > 1e-4
+    # deterministic across re-iteration
+    b2 = next(iter(loader.epoch(0)))
+    np.testing.assert_array_equal(b["codec_id"], b2["codec_id"])
+    np.testing.assert_array_equal(b["xt"], b2["xt"])
+    # shared fields match the jpeg loader's stream (same rng draws)
+    jb = next(iter(DegradationLoader(
+        ds, np.arange(24), get_preset("jpeg"), batch_size=12, steps=100, seed=0
+    ).epoch(0)))
+    np.testing.assert_array_equal(b["t"], jb["t"])
+    np.testing.assert_array_equal(b["quality"], jb["quality"])
+    # per-sample degradation actually used the chosen codec: jpeg-coded
+    # samples equal the jpeg loader's xt rows, webp/avif rows differ
+    jpeg_rows = b["codec_id"] == 0
+    if jpeg_rows.any():
+        np.testing.assert_array_equal(b["xt"][jpeg_rows], jb["xt"][jpeg_rows])
+    if (~jpeg_rows).any():
+        assert np.abs(b["xt"][~jpeg_rows] - jb["xt"][~jpeg_rows]).max() > 0

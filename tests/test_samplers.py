@@ -345,3 +345,30 @@ def test_sample_ensemble_averages_variants(y32):
     # and it differs from the single-orientation restore (sanity: TTA does something)
     single = np.asarray(sampler.sample(None, y32, 50, 3, eta=0.0))
     assert not np.allclose(np.asarray(got), single)
+
+
+def test_ddrm_unified_codec_id(y32):
+    """A unified ('all') model restores through per-codec samplers: the
+    conditioning id is closed over the compiled solver, and different ids
+    give different restorations (plain + encoder-reuse paths)."""
+    model = build_model("all", TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), y32, jnp.zeros(2), codec_id=0
+    )
+    outs = []
+    for codec, cid in [("jpeg", 0), ("webp", 1)]:
+        s = DDRMSampler(
+            model, get_preset(codec), consistency_mode="surrogate", codec_id=cid
+        )
+        out = s.sample(params, y32, quality=10, steps=4, key=jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(out)))
+        outs.append(np.asarray(out))
+        # encoder-reuse (an approximation: stale features between encodes)
+        # must run conditioned too
+        out_er = s.sample(
+            params, y32, quality=10, steps=4, key=jax.random.PRNGKey(1),
+            encoder_reuse=2,
+        )
+        assert out_er.shape == out.shape
+        assert np.all(np.isfinite(np.asarray(out_er)))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-6

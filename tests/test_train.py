@@ -270,3 +270,35 @@ def test_ckpt_min_interval_rate_limits_saves(tmp_path):
     assert len(saved) <= 3
     for a, b in zip(saved, saved[1:]):
         assert b - a >= 3 or b == 4
+
+
+def test_unified_train_step_and_validation(tmp_path, rng):
+    """--codec all end-to-end at the step level: conditioned batches train,
+    loss is finite and decreases, and unified validation (one restore per
+    codec) returns averaged metrics."""
+    from ddpm_image_restoration_tpu.train.loop import (
+        unified_samplers,
+        validate_by_restoration,
+    )
+
+    cfg = TrainConfig(
+        codec="all", model=TINY_MODEL, batch_size=4, checkpoint_dir=str(tmp_path)
+    )
+    model = build_model("all", cfg.model)
+    assert model.cfg.codec_conditioning
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, cfg))
+    batch = _fake_batch(rng)
+    batch["codec_id"] = jnp.asarray(np.array([0, 1, 2, 0]), jnp.int32)
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+    val_images = np.asarray(batch["x0"][:2])
+    samplers = unified_samplers(model, "surrogate")
+    out = validate_by_restoration(
+        model, state.params, cfg, val_images, sampler=samplers
+    )
+    assert np.isfinite(out["val_psnr"]) and np.isfinite(out["val_ssim"])
