@@ -39,7 +39,18 @@ def add_model_flags(ap: argparse.ArgumentParser):
     ap.add_argument("--platform", default=None,
                     help="pin the JAX platform (e.g. cpu, tpu) before "
                          "backend init; also via DDPM_IR_PLATFORM env")
-    ap.add_argument("--codec", default="webp", choices=["webp", "jpeg", "avif"])
+    ap.add_argument("--codec", default="webp",
+                    choices=["webp", "jpeg", "avif", "all", "auto"],
+                    help="'all' (train): unified multi-codec model on mixed "
+                         "degradations; 'auto' (restore/serve): detect each "
+                         "input's codec from its bitstream and dispatch — "
+                         "needs --model-codec all (or a matching single-codec "
+                         "checkpoint)")
+    ap.add_argument("--model-codec", default="",
+                    help="codec the CHECKPOINT was trained for when it "
+                         "differs from --codec: 'all' pairs a unified "
+                         "checkpoint with any target codec (default: same "
+                         "as --codec)")
     ap.add_argument("--image-size", type=int, default=64)
     ap.add_argument("--width-scale", type=int, default=1,
                     help="divide all channel widths by this (quick experiments)")
@@ -53,6 +64,38 @@ def add_model_flags(ap: argparse.ArgumentParser):
                          "(jax.checkpoint): ~1 extra forward of FLOPs for "
                          "O(depth) less activation HBM — for 256^2+ or "
                          "large-batch training that otherwise OOMs")
+
+
+def resolve_codecs(args, allow_auto: bool = False) -> tuple:
+    """(target_codec, model_codec) for the eval/restore/serve CLIs.
+
+    The target codec is what the inputs were compressed with (sampler preset
+    + consistency codec); the model codec is what the checkpoint was trained
+    as ('all' = unified multi-codec). 'auto' as target means per-file
+    bitstream detection (restore/serve only)."""
+    codec = args.codec.lower()
+    if codec == "all":
+        raise SystemExit(
+            "--codec all is a TRAINING preset; restoration/evaluation "
+            "target one codec at a time — use --model-codec all with "
+            "--codec jpeg|webp|avif" + ("|auto" if allow_auto else "")
+        )
+    if codec == "auto" and not allow_auto:
+        raise SystemExit("--codec auto applies to restore/serve only")
+    model_codec = (getattr(args, "model_codec", "") or codec).lower()
+    if model_codec == "auto":
+        raise SystemExit("--codec auto needs --model-codec: the preset the "
+                         "checkpoint was trained as (jpeg|webp|avif|all)")
+    return codec, model_codec
+
+
+def sampler_codec_id(model, codec: str):
+    """Conditioning id for a (possibly unified) model restoring `codec`."""
+    if getattr(model.cfg, "codec_conditioning", False):
+        from ddpm_image_restoration_tpu.config import codec_index
+
+        return codec_index(codec)
+    return None
 
 
 def model_config_from(args) -> ModelConfig:

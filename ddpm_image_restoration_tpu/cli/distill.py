@@ -79,6 +79,8 @@ def main(argv=None):
                          "codec degradation")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
+    if args.codec in ("auto", "all"):
+        raise SystemExit("distillation is per-codec: --codec jpeg|webp|avif")
     configure_jax_cache(getattr(args, "platform", None))
 
     cfg = train_config_from(args)

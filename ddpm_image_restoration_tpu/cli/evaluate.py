@@ -60,6 +60,10 @@ def main(argv=None):
                     "untouched input at q>=HI (non-reference guard for "
                     "near-lossless inputs)")
     args = ap.parse_args(argv)
+    from ddpm_image_restoration_tpu.cli.common import resolve_codecs
+
+    codec, model_codec = resolve_codecs(args, allow_auto=False)
+    args.codec = codec
     configure_jax_cache(getattr(args, "platform", None))
 
     from ddpm_image_restoration_tpu.config import TrainConfig
@@ -79,8 +83,8 @@ def main(argv=None):
 
         cfg = dataclasses.replace(cfg, qualities_override=tuple(args.qualities))
 
-    model = build_model(args.codec, cfg.model)
-    tc = TrainConfig(codec=args.codec, model=cfg.model, checkpoint_dir=args.checkpoint_dir,
+    model = build_model(model_codec, cfg.model)
+    tc = TrainConfig(codec=model_codec, model=cfg.model, checkpoint_dir=args.checkpoint_dir,
                      ema_decay=1.0 if args.use_ema else 0.0)
     state = create_train_state(model, tc, jax.random.PRNGKey(0))
     if not args.random_init:

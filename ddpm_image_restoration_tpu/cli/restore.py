@@ -93,6 +93,12 @@ def main(argv=None):
                     help="tiles per sampler batch in --size-mode tile "
                          "(one static compile)")
     args = ap.parse_args(argv)
+    from ddpm_image_restoration_tpu.cli.common import (
+        resolve_codecs,
+        sampler_codec_id,
+    )
+
+    codec, model_codec = resolve_codecs(args, allow_auto=True)
     configure_jax_cache(getattr(args, "platform", None))
 
     from ddpm_image_restoration_tpu.config import TrainConfig, get_preset
@@ -103,9 +109,8 @@ def main(argv=None):
     from ddpm_image_restoration_tpu.train.steps import create_train_state
 
     mcfg = model_config_from(args)
-    preset = get_preset(args.codec)
-    model = build_model(args.codec, mcfg)
-    cfg = TrainConfig(codec=args.codec, model=mcfg, checkpoint_dir=args.checkpoint_dir,
+    model = build_model(model_codec, mcfg)
+    cfg = TrainConfig(codec=model_codec, model=mcfg, checkpoint_dir=args.checkpoint_dir,
                       ema_decay=1.0 if args.use_ema else 0.0)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0))
     if not args.random_init:
@@ -151,7 +156,34 @@ def main(argv=None):
 
         return wrapped
 
-    sampler = DDRMSampler(model, preset, args.consistency)
+    _samplers = {}
+
+    def get_sampler(c: str) -> DDRMSampler:
+        if c not in _samplers:
+            _samplers[c] = DDRMSampler(
+                model, get_preset(c), args.consistency,
+                codec_id=sampler_codec_id(model, c),
+            )
+        return _samplers[c]
+
+    if codec == "auto":
+        from ddpm_image_restoration_tpu.codecs.estimate import detect_codec
+
+        fallback = model_codec if model_codec != "all" else "jpeg"
+        codecs = []
+        for p in args.inputs:
+            c = detect_codec(p)
+            if c is None:
+                c = fallback
+                print(f"{p}: codec not identifiable from the bitstream "
+                      f"(JPEG/WebP/AVIF magic); assuming {c}")
+            elif model_codec not in ("all", c):
+                print(f"{p}: detected {c} but the checkpoint was trained "
+                      f"for {model_codec}; restoring as {c} with the "
+                      f"{model_codec} model")
+            codecs.append(c)
+    else:
+        codecs = [codec] * len(args.inputs)
 
     if args.quality == "auto":
         from ddpm_image_restoration_tpu.codecs.estimate import estimate_quality
@@ -175,7 +207,11 @@ def main(argv=None):
         raise SystemExit("--max-evals applies to the DDRM solver only (the "
                          "gaussian_mixture sampler has no stride); drop one")
 
-    def make_restore_batch(quality: int):
+    _gms = {}
+
+    def make_restore_batch(file_codec: str, quality: int):
+        smp = get_sampler(file_codec)
+        preset = smp.preset
         init_t = init_timestep_for_quality(quality, args.steps, preset)
         stride = args.stride
         if args.max_evals:
@@ -188,7 +224,11 @@ def main(argv=None):
                 GaussianMixtureSampler,
             )
 
-            gm = GaussianMixtureSampler(model, preset)
+            if file_codec not in _gms:
+                _gms[file_codec] = GaussianMixtureSampler(
+                    model, preset, codec_id=sampler_codec_id(model, file_codec)
+                )
+            gm = _gms[file_codec]
 
             def restore_batch(batch: np.ndarray) -> np.ndarray:
                 return np.asarray(
@@ -199,7 +239,7 @@ def main(argv=None):
 
         def restore_batch(batch: np.ndarray) -> np.ndarray:
             return np.asarray(
-                sample_ensemble(sampler, {"params": params}, jnp.asarray(batch),
+                sample_ensemble(smp, {"params": params}, jnp.asarray(batch),
                                 quality, init_t,
                                 n_transforms=args.ensemble,
                                 stride=stride,
@@ -214,18 +254,18 @@ def main(argv=None):
         from ddpm_image_restoration_tpu.utils.tiling import restore_tiled
 
         out = [
-            restore_tiled(make_restore_batch(q), _load_image(p, None),
+            restore_tiled(make_restore_batch(c, q), _load_image(p, None),
                           mcfg.image_size,
                           overlap=args.tile_overlap, batch_size=args.tile_batch)
-            for p, q in zip(args.inputs, qualities)
+            for p, c, q in zip(args.inputs, codecs, qualities)
         ]
-    elif len(set(qualities)) == 1:
+    elif len(set(zip(codecs, qualities))) == 1:
         imgs = np.stack([_load_image(p, mcfg.image_size) for p in args.inputs])
-        out = make_restore_batch(qualities[0])(imgs)
-    else:  # per-file estimated qualities: restore one at a time
+        out = make_restore_batch(codecs[0], qualities[0])(imgs)
+    else:  # per-file detected codec/quality: restore one at a time
         out = [
-            make_restore_batch(q)(_load_image(p, mcfg.image_size)[None])[0]
-            for p, q in zip(args.inputs, qualities)
+            make_restore_batch(c, q)(_load_image(p, mcfg.image_size)[None])[0]
+            for p, c, q in zip(args.inputs, codecs, qualities)
         ]
 
     os.makedirs(args.output_dir, exist_ok=True)

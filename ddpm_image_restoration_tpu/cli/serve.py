@@ -22,7 +22,7 @@ from PIL import Image
 
 from ddpm_image_restoration_tpu.cli.common import configure_jax_cache, add_model_flags, model_config_from
 
-_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".avif")
 
 
 def _load(path, size):
@@ -93,6 +93,12 @@ def main(argv=None):
                          "16-aligned overlap tiles (utils/tiling.py)")
     ap.add_argument("--tile-overlap", type=int, default=32)
     args = ap.parse_args(argv)
+    from ddpm_image_restoration_tpu.cli.common import (
+        resolve_codecs,
+        sampler_codec_id,
+    )
+
+    codec, model_codec = resolve_codecs(args, allow_auto=True)
     configure_jax_cache(getattr(args, "platform", None))
 
     from ddpm_image_restoration_tpu.config import TrainConfig, get_preset
@@ -103,11 +109,10 @@ def main(argv=None):
     from ddpm_image_restoration_tpu.train.steps import create_train_state
 
     mcfg = model_config_from(args)
-    preset = get_preset(args.codec)
-    model = build_model(args.codec, mcfg)
+    model = build_model(model_codec, mcfg)
     state = create_train_state(
         model,
-        TrainConfig(codec=args.codec, model=mcfg,
+        TrainConfig(codec=model_codec, model=mcfg,
                     ema_decay=1.0 if args.use_ema else 0.0),
         jax.random.PRNGKey(0),
     )
@@ -123,10 +128,36 @@ def main(argv=None):
         raise SystemExit("--use-ema: checkpoint has no EMA params "
                          "(train with --ema-decay > 0)")
 
-    sampler = DDRMSampler(model, preset)
+    _samplers = {}
+
+    def get_sampler(c: str) -> DDRMSampler:
+        if c not in _samplers:
+            _samplers[c] = DDRMSampler(
+                model, get_preset(c), codec_id=sampler_codec_id(model, c)
+            )
+        return _samplers[c]
+
+    _codec_fallback = model_codec if model_codec != "all" else "jpeg"
+
+    def select_batch(files):
+        """Next single-codec batch: fixed --codec serves head-of-queue;
+        --codec auto groups the scanned files by detected codec (magic
+        bytes) and serves the LARGEST group first — each compiled solver
+        signature is per-codec, so batches must be codec-pure."""
+        if codec != "auto":
+            return files[: args.batch_size], codec
+        from ddpm_image_restoration_tpu.codecs.estimate import detect_codec
+
+        groups = {}
+        for f in files:
+            c = detect_codec(os.path.join(args.watch, f)) or _codec_fallback
+            groups.setdefault(c, []).append(f)
+        c = max(groups, key=lambda k: len(groups[k]))
+        return groups[c][: args.batch_size], c
+
     _BUCKETS = (10, 30, 50, 70, 90)
 
-    def quality_for(batch_paths):
+    def quality_for(batch_paths, preset):
         """Batch quality + start step: fixed, or 'auto' from the bitstreams."""
         if args.quality != "auto":
             q = int(args.quality)
@@ -224,11 +255,14 @@ def main(argv=None):
                     break
                 time.sleep(args.poll_seconds)
                 continue
-            batch_files, images = load_batch(files[: args.batch_size], None)
+            take, batch_codec = select_batch(files)
+            batch_files, images = load_batch(take, None)
             if not batch_files:
                 continue
+            sampler = get_sampler(batch_codec)
             key, sub = jax.random.split(key)
-            q, it = quality_for([os.path.join(args.watch, f) for f in batch_files])
+            q, it = quality_for([os.path.join(args.watch, f) for f in batch_files],
+                                sampler.preset)
 
             def restore_fixed(batch: np.ndarray) -> np.ndarray:
                 return np.asarray(
@@ -248,15 +282,17 @@ def main(argv=None):
         print(f"done; served {served} images", flush=True)
         return
 
-    def dispatch(batch_files):
+    def dispatch(files):
         """Enqueue one fixed-shape restore WITHOUT syncing: JAX dispatch is
         async, so the device crunches this batch while the host loads the
         next one (pipelined serving — per-batch sync costs ~14% on a
         tunneled chip, see docs/ROADMAP.md)."""
         nonlocal key
-        batch_files, loaded = load_batch(batch_files, mcfg.image_size)
+        take, batch_codec = select_batch(files)
+        batch_files, loaded = load_batch(take, mcfg.image_size)
         if not batch_files:
             return None
+        sampler = get_sampler(batch_codec)
         n = len(batch_files)
         imgs = np.stack(loaded)
         # pad to the compiled batch size so one executable serves every request
@@ -265,7 +301,8 @@ def main(argv=None):
                 [imgs, np.zeros((args.batch_size - n, *imgs.shape[1:]), np.float32)]
             )
         key, sub = jax.random.split(key)
-        q, it = quality_for([os.path.join(args.watch, f) for f in batch_files])
+        q, it = quality_for([os.path.join(args.watch, f) for f in batch_files],
+                            sampler.preset)
         out = sampler.sample(params, place(imgs), q, it,
                              key=sub, stride=stride_for(it),
                              protect=tuple(args.protect) if args.protect else None,
@@ -282,7 +319,7 @@ def main(argv=None):
                 break
             time.sleep(args.poll_seconds)
             continue
-        next_flight = dispatch(files[: args.batch_size]) if files else None
+        next_flight = dispatch(files) if files else None
         if in_flight is not None:
             batch_files, n, out = in_flight
             finish(batch_files, np.asarray(out)[:n])

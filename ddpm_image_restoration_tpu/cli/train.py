@@ -53,6 +53,9 @@ def main(argv=None):
                     help="on crash, resume from the last checkpoint up to N times "
                     "(elastic-training guard; the reference always restarts from scratch)")
     args = ap.parse_args(argv)
+    if args.codec == "auto":
+        raise SystemExit("--codec auto is a restore/serve mode; train a real "
+                         "preset (jpeg|webp|avif) or the unified 'all'")
     configure_jax_cache(getattr(args, "platform", None))
 
     cfg = train_config_from(args)

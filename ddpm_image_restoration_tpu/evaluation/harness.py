@@ -78,7 +78,15 @@ def evaluate_restoration(
     if cfg.max_images:
         images = images[: cfg.max_images]  # AVIF caps at 500 (avif_inference.py:509-512)
 
-    sampler = DDRMSampler(model, preset, cfg.consistency_mode, prediction=prediction)
+    # unified ('all') checkpoints: condition the model on the TARGET codec
+    # while the sampler uses that codec's own preset/consistency
+    codec_id = None
+    if getattr(model.cfg, "codec_conditioning", False):
+        from ddpm_image_restoration_tpu.config import codec_index
+
+        codec_id = codec_index(preset.name)
+    sampler = DDRMSampler(model, preset, cfg.consistency_mode,
+                          prediction=prediction, codec_id=codec_id)
     lpips_fn = LPIPS()
     extractor = default_feature_extractor() if cfg.compute_fid else None
     wrapped = {"params": params} if "params" not in params else params

@@ -178,3 +178,63 @@ def test_restore_tile_mode_composes_with_dp(tmp_path):
     ])
     img = np.asarray(Image.open(out / "photo_restored.png"))
     assert img.shape == (40, 60, 3)
+
+
+@pytest.mark.slow
+def test_restore_codec_auto_unified(tmp_path):
+    """--codec auto + --model-codec all: per-file codec detection drives
+    per-codec samplers over ONE unified (random-init) model."""
+    from ddpm_image_restoration_tpu.cli.restore import main
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    j = tmp_path / "a.jpg"
+    w = tmp_path / "b.webp"
+    Image.fromarray(arr).save(j, quality=30)
+    Image.fromarray(arr).save(w, quality=30)
+    out = tmp_path / "out"
+    main([
+        str(j), str(w), "--codec", "auto", "--model-codec", "all",
+        *TINY_FLAGS, "--random-init", "--quality", "30", "--steps", "4",
+        "--output-dir", str(out),
+    ])
+    assert sorted(p.name for p in out.glob("*_restored.png")) == [
+        "a_restored.png", "b_restored.png",
+    ]
+
+
+def test_codec_flag_validation(tmp_path):
+    from ddpm_image_restoration_tpu.cli.evaluate import main as eval_main
+    from ddpm_image_restoration_tpu.cli.restore import main as restore_main
+    from ddpm_image_restoration_tpu.cli.train import main as train_main
+
+    with pytest.raises(SystemExit, match="restore/serve"):
+        eval_main(["--codec", "auto"])
+    with pytest.raises(SystemExit, match="TRAINING preset"):
+        restore_main(["x.png", "--codec", "all"])
+    with pytest.raises(SystemExit, match="restore/serve"):
+        train_main(["--codec", "auto"])
+
+
+@pytest.mark.slow
+def test_serve_codec_auto_groups_batches(tmp_path):
+    """Serving with --codec auto: mixed jpeg/webp uploads drain in
+    codec-pure batches through a unified model."""
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(watch / f"j{i}.jpg", quality=30)
+        Image.fromarray(arr).save(watch / f"w{i}.webp", quality=30)
+    out = tmp_path / "out"
+    main([
+        "--watch", str(watch), "--output-dir", str(out),
+        "--codec", "auto", "--model-codec", "all",
+        *TINY_FLAGS, "--random-init", "--quality", "30", "--steps", "4",
+        "--batch-size", "2", "--once",
+    ])
+    assert len(list(out.glob("*_restored.png"))) == 4
+    assert not list(watch.glob("*.jpg")) and not list(watch.glob("*.webp"))
