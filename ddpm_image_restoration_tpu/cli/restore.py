@@ -68,6 +68,12 @@ def main(argv=None):
                          "all): params replicated, batch sharded over the "
                          "mesh's data axis (input batches are padded to a "
                          "multiple of N)")
+    ap.add_argument("--sp", type=int, default=0,
+                    help="spatial-parallel restoration over N devices (-1 = "
+                         "all): params replicated, the image HEIGHT axis "
+                         "sharded over the mesh — scale-out for batches "
+                         "smaller than the device count (one giant image). "
+                         "Mutually exclusive with --dp")
     ap.add_argument("--encoder-reuse", type=int, default=1,
                     help="run the UNet encoder only every k-th model "
                          "evaluation, decoding from cached features between "
@@ -125,22 +131,39 @@ def main(argv=None):
         raise SystemExit("--use-ema: checkpoint has no EMA params "
                          "(train with --ema-decay > 0)")
 
+    if args.dp and args.sp:
+        raise SystemExit("--dp and --sp are mutually exclusive (a combined "
+                         "data x spatial mesh adds nothing at this model's "
+                         "sizes; pick the axis that matches your batch)")
     mesh = None
-    if args.dp:
+    if args.dp or args.sp:
         from ddpm_image_restoration_tpu.parallel.mesh import make_mesh, replicated
 
-        n_dp = jax.device_count() if args.dp < 0 else min(args.dp, jax.device_count())
-        mesh = make_mesh((n_dp,), ("data",))
+        want = args.dp or args.sp
+        n_mesh = jax.device_count() if want < 0 else min(want, jax.device_count())
+        axis = "data" if args.dp else "spatial"
+        mesh = make_mesh((n_mesh,), (axis,))
         params = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, replicated(mesh)), params
         )
-        print(f"data-parallel restore over {n_dp} device(s)")
+        print(f"{'data' if args.dp else 'spatial'}-parallel restore "
+              f"over {n_mesh} device(s)")
 
     def with_dp(fn):
-        """Pad the batch to the mesh size, shard it, trim the output."""
+        """Shard the batch over the mesh (batch axis padded to a multiple of
+        the mesh for --dp; image height axis, unpadded, for --sp)."""
         if mesh is None:
             return fn
+        from jax.sharding import NamedSharding, PartitionSpec
         from ddpm_image_restoration_tpu.parallel.mesh import batch_sharding
+
+        if args.sp:
+            sh = NamedSharding(mesh, PartitionSpec(None, "spatial"))
+
+            def wrapped(batch: np.ndarray) -> np.ndarray:
+                return fn(jax.device_put(jnp.asarray(batch), sh))
+
+            return wrapped
 
         n = mesh.shape["data"]
 

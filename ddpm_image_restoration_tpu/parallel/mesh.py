@@ -159,6 +159,21 @@ def shard_inference(params, y, mesh: Mesh):
     return params, jax.device_put(y, batch_sharding(mesh))
 
 
+def shard_inference_spatial(params, y, mesh: Mesh, axis: str = "spatial"):
+    """Spatial-parallel restoration placement: params replicated, the image
+    HEIGHT axis of NHWC `y` sharded over the mesh. This is the scale-out for
+    the case data parallelism cannot touch — a batch too small for the device
+    count (one giant image). XLA's SPMD partitioner runs each conv on its
+    H-shard and inserts halo exchanges at shard edges over ICI; global ops
+    (full-token attention, FFT phase consistency, blockwise DCT reshapes)
+    gather as needed. Output is layout-invariant: sp restore == single-device
+    restore (tests/test_parallel.py::test_sp_restore_matches_single_device)."""
+    params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated(mesh)), params
+    )
+    return params, jax.device_put(y, NamedSharding(mesh, P(None, axis)))
+
+
 def put_state(state, mesh: Mesh, fsdp: bool = False):
     sh = state_shardings(state, mesh, fsdp=fsdp)
     return jax.tree_util.tree_map(

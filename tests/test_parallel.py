@@ -218,3 +218,31 @@ def test_dp_restore_matches_single_device(rng):
     p_sh, y_sh = shard_inference(params, jnp.asarray(y), mesh)
     dp = np.asarray(sampler.sample(p_sh, y_sh, quality=30, steps=4, key=key))
     np.testing.assert_allclose(dp, single, rtol=0, atol=1e-5)
+
+
+def test_sp_restore_matches_single_device(rng):
+    """shard_inference_spatial (image H axis over the mesh) == single-device
+    restoration: XLA inserts conv halo exchanges / gathers for global ops,
+    and the in-scan noise is sharding-invariant under partitionable threefry.
+    This is the scale-out path for a batch smaller than the device count."""
+    from ddpm_image_restoration_tpu.config import get_preset
+    from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+    from ddpm_image_restoration_tpu.parallel.mesh import shard_inference_spatial
+
+    cfg = _cfg()
+    model = build_model(cfg.codec, cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros(1))
+    y = np.clip(rng.normal(0, 0.4, (2, 16, 16, 3)), -1, 1).astype(np.float32)
+    sampler = DDRMSampler(model, get_preset("webp"))
+    key = jax.random.PRNGKey(7)
+
+    single = np.asarray(
+        sampler.sample(params, jnp.asarray(y), quality=30, steps=4, key=key)
+    )
+    mesh = make_mesh((-1,), ("spatial",))
+    p_sh, y_sh = shard_inference_spatial(params, jnp.asarray(y), mesh)
+    assert y_sh.sharding.spec == P(None, "spatial")
+    sp = np.asarray(sampler.sample(p_sh, y_sh, quality=30, steps=4, key=key))
+    # unlike DP, spatial sharding SPLITS reductions (conv halo exchanges,
+    # gathered FFT/attention) -> float reassociation at the 1e-5 level
+    np.testing.assert_allclose(sp, single, rtol=0, atol=1e-4)
