@@ -41,7 +41,9 @@ def main(argv=None):
                     help="teacher solver stride (1 = full solver)")
     ap.add_argument("--qualities", type=int, nargs="+", default=[],
                     help="quality buckets to distill (default: the codec "
-                         "preset's validation qualities)")
+                         "preset's full EVAL quality grid — each quality is "
+                         "its own init_t budget and the student only learns "
+                         "the budgets it trains)")
     ap.add_argument("--gt-weight", type=float, default=0.3,
                     help="weight of the clean-image anchor term in the "
                          "distillation loss")

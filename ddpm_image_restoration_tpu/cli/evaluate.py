@@ -55,6 +55,11 @@ def main(argv=None):
                          "restorations of N flip/rotation variants")
     ap.add_argument("--qualities", type=int, nargs="*", default=None,
                     help="override the preset's eval quality list")
+    ap.add_argument("--no-final-exact", action="store_true",
+                    help="surrogate mode: skip the bit-exact host-codec "
+                         "recomputation of the FINAL consistency projection "
+                         "(on by default; off = pure-device output, inherits "
+                         "the surrogate-vs-real mismatch at high qualities)")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
                     help="quality-gated blend: full restoration at q<=LO, "
                     "untouched input at q>=HI (non-reference guard for "
@@ -116,6 +121,7 @@ def main(argv=None):
                          decoder_reuse_depth=args.decoder_reuse_depth,
                          ensemble=args.ensemble,
                          max_evals=args.max_evals,
+                         final_exact=False if args.no_final_exact else None,
                          protect=tuple(args.protect) if args.protect else None)
 
 

@@ -141,6 +141,17 @@ def main(argv=None):
 
         want = args.dp or args.sp
         n_mesh = jax.device_count() if want < 0 else min(want, jax.device_count())
+        if args.sp:
+            # The spatial axis shards the image HEIGHT unpadded (codec block
+            # grids make height padding semantically wrong), so the mesh size
+            # must divide it. Clamp to the largest divisor rather than crash
+            # in device_put with a raw ValueError.
+            h = mcfg.image_size
+            while h % n_mesh:
+                n_mesh -= 1
+            if n_mesh != (want if want > 0 else jax.device_count()):
+                print(f"--sp: clamped mesh to {n_mesh} device(s) "
+                      f"(largest divisor of image height {h})")
         axis = "data" if args.dp else "spatial"
         mesh = make_mesh((n_mesh,), (axis,))
         params = jax.tree_util.tree_map(

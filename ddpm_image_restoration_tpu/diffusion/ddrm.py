@@ -76,8 +76,11 @@ def quality_gated_blend(
     runs both show the smallest/negative gains at the highest qualities —
     at q>=90 a full restoration pass can *lose* PSNR. Blend the restoration
     back toward the observation with a linear ramp: full restoration at
-    quality <= lo, untouched observation at quality >= hi."""
+    quality <= lo, untouched observation at quality >= hi. `quality` may be
+    a scalar or a per-sample [B] vector."""
     w = jnp.clip((hi - jnp.asarray(quality, jnp.float32)) / (hi - lo), 0.0, 1.0)
+    if w.ndim == 1:  # per-sample quality: broadcast over H, W, C
+        w = w[:, None, None, None]
     return w * restored.astype(jnp.float32) + (1.0 - w) * y.astype(jnp.float32)
 
 
@@ -254,9 +257,10 @@ class DDRMSampler:
                     if prediction == "residual":
                         x_theta = x_t + x_theta
                     c = consistency(x_theta, q_vec)
-                    return _ddrm_update(
+                    x_next = _ddrm_update(
                         x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset
                     )
+                    return x_next, x_theta
 
                 idxs_np = _solver_indices(steps, stride)
                 lasts_np = _last_flags(idxs_np)
@@ -270,19 +274,23 @@ class DDRMSampler:
                 tail = idxs_np[n_groups * encoder_reuse:]
 
                 def group(carry, xs):
-                    x_t, key = carry
+                    x_t, x_theta, key = carry
                     i_vec, last_vec = xs
                     t0 = jnp.full((b,), i_vec[0], jnp.float32) / steps
                     cached = group_features(encode(x_t, t0), t0)
                     for j in range(encoder_reuse):  # static unroll
                         key, nkey = jax.random.split(key)
-                        x_t = model_step(x_t, cached, i_vec[j], last_vec[j], nkey)
-                    return (x_t, key), None
+                        x_t, x_theta = model_step(
+                            x_t, cached, i_vec[j], last_vec[j], nkey
+                        )
+                    return (x_t, x_theta, key), None
 
-                x_t = y
+                x_t, x_theta = y, y
                 if n_groups:
-                    (x_t, key), _ = jax.lax.scan(
-                        group, (x_t, key), (jnp.asarray(main), jnp.asarray(main_last))
+                    (x_t, x_theta, key), _ = jax.lax.scan(
+                        group,
+                        (x_t, x_theta, key),
+                        (jnp.asarray(main), jnp.asarray(main_last)),
                     )
                 if len(tail):  # leftover steps: one more encode, then reuse
                     t0 = jnp.full((b,), int(tail[0]), jnp.float32) / steps
@@ -290,11 +298,13 @@ class DDRMSampler:
                     for p, i in enumerate(tail):
                         key, nkey = jax.random.split(key)
                         last = jnp.asarray(p == len(tail) - 1)
-                        x_t = model_step(x_t, cached, jnp.asarray(int(i)), last, nkey)
-                return x_t
+                        x_t, x_theta = model_step(
+                            x_t, cached, jnp.asarray(int(i)), last, nkey
+                        )
+                return x_t, x_theta
 
             def step(carry, xs):
-                x_t, key = carry
+                x_t, _, key = carry
                 i, last = xs
                 key, nkey = jax.random.split(key)
                 t = jnp.full((b,), i, jnp.float32) / steps
@@ -307,10 +317,12 @@ class DDRMSampler:
                 x_t = _ddrm_update(
                     x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset
                 )
-                return (x_t, key), None
+                return (x_t, x_theta, key), None
 
-            (x_final, _), _ = jax.lax.scan(step, (y, key), (idxs, lasts))
-            return x_final
+            (x_final, x_theta_last, _), _ = jax.lax.scan(
+                step, (y, y, key), (idxs, lasts)
+            )
+            return x_final, x_theta_last
 
         return run
 
@@ -400,7 +412,7 @@ class DDRMSampler:
                     x_theta, c, y, nkey, jnp.asarray(i),
                     jnp.asarray(p_ == len(idxs_host) - 1), t, q_vec, eta, eta_b,
                 )
-            return x_t
+            return x_t, x_theta
 
         return run
 
@@ -418,7 +430,12 @@ class DDRMSampler:
         scans it to amortise per-dispatch host latency."""
         if self.consistency_mode == "host_loop":
             raise ValueError("build_run requires an on-device consistency mode")
-        return self._build(steps, stride, encoder_reuse, decoder_reuse_depth)
+        run = self._build(steps, stride, encoder_reuse, decoder_reuse_depth)
+
+        def final_only(params, y, quality, key, eta, eta_b):
+            return run(params, y, quality, key, eta, eta_b)[0]
+
+        return final_only
 
     def sample(
         self,
@@ -433,8 +450,13 @@ class DDRMSampler:
         protect: Optional[tuple] = None,
         encoder_reuse: int = 1,
         decoder_reuse_depth: int = 0,
+        final_exact: Optional[bool] = None,
     ) -> jnp.ndarray:
-        """Restore compressed observation y (NHWC, [-1,1]) at codec `quality`.
+        """Restore compressed observation y (NHWC, [-1,1]) at codec `quality`
+        (a scalar, or a per-sample [B] vector — each image restores at its own
+        quality through the consistency step, noise schedule, and protection
+        blend; the phase-consistency gate keys off the first sample, matching
+        the reference's batch-scalar semantics).
 
         `steps` is both the scan length and the time normalizer, matching the
         reference's sample(y, q, steps=init_t) calling convention
@@ -449,6 +471,19 @@ class DDRMSampler:
         (DeepCache-style, arXiv:2312.00858): reuse steps recompute only the
         last d high-resolution decoder stages + head. Requires
         encoder_reuse > 1 (with per-step encoding there is nothing to cache).
+
+        `final_exact` (default: auto = True in 'surrogate' mode) recomputes
+        the FINAL consistency projection x' = x̂ − codec(x̂) + y with the
+        bit-exact host codec — one host round-trip per restore. Rationale:
+        the reference's last step (webp_training.py:469-471) uses the real
+        codec, so when x̂ ≈ x0 the projection cancels — codec(x̂) ≈ y — and
+        the output can never fall below the observation's quality. With the
+        on-device surrogate that cancellation breaks: the output inherits the
+        surrogate-vs-real mismatch, which *dominates* at high qualities where
+        the real codec's own loss is tiny (measured −1.46 dB at WebP q90 in
+        round 1). Running the scan's iterative refinement on the surrogate but
+        the final anchor on the real codec restores the reference's
+        never-worse-than-y property at the cost of ONE host codec call.
         """
         if encoder_reuse < 1:
             raise ValueError("encoder_reuse must be >= 1")
@@ -473,9 +508,23 @@ class DDRMSampler:
             key = jax.random.PRNGKey(0)
         eta = self.preset.eta if eta is None else eta
         eta_b = self.preset.eta_b if eta_b is None else eta_b
-        out = self._compiled[sig](
+        out, x_theta_last = self._compiled[sig](
             params, y, quality, key, jnp.float32(eta), jnp.float32(eta_b)
         )
+        if final_exact is None:
+            final_exact = self.consistency_mode == "surrogate"
+        if final_exact and self.consistency_mode == "surrogate":
+            from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
+
+            q_host = np.broadcast_to(np.asarray(quality), (y.shape[0],))
+            c_real = compress_batch(
+                np.asarray(x_theta_last, np.float32), self.preset.name, q_host
+            )
+            out = (
+                x_theta_last.astype(jnp.float32)
+                - jnp.asarray(c_real, jnp.float32)
+                + jnp.asarray(y, jnp.float32)
+            )
         if protect is not None:
             lo, hi = protect
             out = quality_gated_blend(out, y, quality, float(lo), float(hi))

@@ -68,6 +68,7 @@ def evaluate_restoration(
     decoder_reuse_depth: int = 0,
     ensemble: int = 1,
     max_evals: int = 0,
+    final_exact=None,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -114,7 +115,8 @@ def evaluate_restoration(
                                 n_transforms=ensemble, key=sub,
                                 stride=stride, protect=protect,
                                 encoder_reuse=encoder_reuse,
-                                decoder_reuse_depth=decoder_reuse_depth)
+                                decoder_reuse_depth=decoder_reuse_depth,
+                                final_exact=final_exact)
             )
             n_restored += len(x0)
 
@@ -158,6 +160,8 @@ def evaluate_restoration(
         "num_images": int(len(images)),
         "steps": cfg.steps,
         "consistency_mode": cfg.consistency_mode,
+        "final_exact": bool(final_exact if final_exact is not None
+                            else cfg.consistency_mode == "surrogate"),
         "lpips_kind": lpips_fn.name,
         "results": results,
     }

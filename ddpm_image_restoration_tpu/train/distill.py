@@ -55,7 +55,12 @@ class DistillConfig:
     teacher_dir: str = "./checkpoints"         # trained teacher checkpoints
     n_eval: int = 1                            # student model evaluations
     teacher_stride: int = 1                    # 1 = full-solver teacher
-    qualities: Tuple[int, ...] = ()            # () = preset.val_qualities
+    # quality buckets to distill. () = the preset's full EVAL grid, not just
+    # val_qualities: each quality maps to its own init_t (static scan length)
+    # and the student only learns the budgets it trains — round-1 students
+    # distilled on (10,30,50) lost up to 2.3 dB at q70/q90, whose init_t
+    # (30/20) they had never seen.
+    qualities: Tuple[int, ...] = ()
     # weight of the ground-truth term: loss = loss(student, teacher)
     # + gt_weight * loss(student, x0). Anchors the student to the clean
     # image so it cannot inherit teacher artifacts wholesale.
@@ -186,7 +191,7 @@ def distill_model(
             "ONE codec's consistency projection); distill a unified teacher "
             "once per target codec with --codec jpeg|webp|avif"
         )
-    qualities = tuple(dcfg.qualities) or tuple(preset.val_qualities)
+    qualities = tuple(dcfg.qualities) or tuple(preset.eval_qualities)
 
     if dataset is None:
         if os.path.isdir(cfg.data_dir):
@@ -322,7 +327,7 @@ def _distill_progressive(
     from ddpm_image_restoration_tpu.diffusion.ddrm import _solver_indices
 
     preset = cfg.preset
-    qualities = tuple(dcfg.qualities) or tuple(preset.val_qualities)
+    qualities = tuple(dcfg.qualities) or tuple(preset.eval_qualities)
     e0 = max(
         len(_solver_indices(
             init_timestep_for_quality(q, cfg.steps, preset),

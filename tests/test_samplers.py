@@ -51,7 +51,7 @@ def test_ddrm_identity_codec_returns_y(y32):
     sampler = DDRMSampler(_ZeroModel(), preset)
     sampler.consistency = lambda x, q: x  # identity codec
     sampler._compiled.clear()
-    out = sampler.sample(None, y32, quality=50, steps=5, eta=0.0)
+    out = sampler.sample(None, y32, quality=50, steps=5, eta=0.0, final_exact=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
 
 
@@ -61,7 +61,7 @@ def test_ddrm_zero_codec_adds_prediction(y32):
     sampler = DDRMSampler(_ZeroModel(), preset)
     sampler.consistency = lambda x, q: jnp.zeros_like(x)
     sampler._compiled.clear()
-    out = sampler.sample(None, y32, quality=50, steps=4, eta=0.0)
+    out = sampler.sample(None, y32, quality=50, steps=4, eta=0.0, final_exact=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
 
 
@@ -72,7 +72,8 @@ def test_ddrm_strided_solver(y32):
     sampler = DDRMSampler(_ZeroModel(), preset)
     sampler.consistency = lambda x, q: x
     sampler._compiled.clear()
-    out = sampler.sample(None, y32, quality=50, steps=20, eta=0.0, stride=7)
+    out = sampler.sample(None, y32, quality=50, steps=20, eta=0.0, stride=7,
+                         final_exact=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
     # (steps, stride, encoder_reuse, decoder_reuse_depth)
     assert (20, 7, 1, 0) in sampler._compiled
@@ -88,7 +89,7 @@ def test_quality_gated_protect(y32):
     # make the restoration differ from y: model output 0, codec 0 -> x' = y,
     # so use eta=0 but compare against a shifted observation via eta_b
     out_hi = sampler.sample(None, y32, quality=95, steps=3, eta=0.0,
-                            protect=(70, 95))
+                            protect=(70, 95), final_exact=False)
     np.testing.assert_allclose(np.asarray(out_hi), np.asarray(y32), atol=1e-5)
 
     from ddpm_image_restoration_tpu.diffusion.ddrm import quality_gated_blend
@@ -310,7 +311,8 @@ def test_sample_ensemble_identity_codec(y32):
     sampler.consistency = lambda x, q: x  # identity codec
     sampler._compiled.clear()
     for n in (1, 2, 4):
-        out = sample_ensemble(sampler, None, y32, 50, 5, n_transforms=n, eta=0.0)
+        out = sample_ensemble(sampler, None, y32, 50, 5, n_transforms=n, eta=0.0,
+                              final_exact=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
     with pytest.raises(ValueError):
         sample_ensemble(sampler, None, y32, 50, 5, n_transforms=3)
@@ -338,12 +340,15 @@ def test_sample_ensemble_averages_variants(y32):
 
     want = []
     for k in range(4):
-        out_k = sampler.sample(None, dihedral(y32, k), 50, 3, eta=0.0)
+        out_k = sampler.sample(None, dihedral(y32, k), 50, 3, eta=0.0,
+                               final_exact=False)
         want.append(np.asarray(dihedral_inverse(out_k, k)))
-    got = sample_ensemble(sampler, None, y32, 50, 3, n_transforms=4, eta=0.0)
+    got = sample_ensemble(sampler, None, y32, 50, 3, n_transforms=4, eta=0.0,
+                          final_exact=False)
     np.testing.assert_allclose(np.asarray(got), np.mean(want, axis=0), atol=1e-5)
     # and it differs from the single-orientation restore (sanity: TTA does something)
-    single = np.asarray(sampler.sample(None, y32, 50, 3, eta=0.0))
+    single = np.asarray(sampler.sample(None, y32, 50, 3, eta=0.0,
+                                       final_exact=False))
     assert not np.allclose(np.asarray(got), single)
 
 
@@ -372,3 +377,69 @@ def test_ddrm_unified_codec_id(y32):
         assert out_er.shape == out.shape
         assert np.all(np.isfinite(np.asarray(out_er)))
     assert np.abs(outs[0] - outs[1]).max() > 1e-6
+
+
+# --- exact final projection + per-sample quality (round 2) ---
+
+
+def test_final_exact_projection(y32):
+    """final_exact recomputes the LAST consistency projection with the
+    bit-exact host codec: sample(final_exact=True) must equal
+    x̂_last − codec(x̂_last) + y where x̂_last comes from the compiled run,
+    and final_exact=False must equal the compiled run's own output."""
+    from ddpm_image_restoration_tpu.codecs.pil_codecs import compress_batch
+
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    kw = dict(quality=30, steps=4, key=jax.random.PRNGKey(7))
+
+    raw = np.asarray(sampler.sample(params, y32, final_exact=False, **kw))
+    exact = np.asarray(sampler.sample(params, y32, final_exact=True, **kw))
+
+    run = sampler._compiled[(4, 1, 1, 0)]
+    x_final, x_theta = run(
+        params, y32, 30, jax.random.PRNGKey(7),
+        jnp.float32(sampler.preset.eta), jnp.float32(sampler.preset.eta_b),
+    )
+    np.testing.assert_allclose(raw, np.asarray(x_final), atol=1e-6)
+    c_real = compress_batch(np.asarray(x_theta, np.float32), "webp",
+                            np.full(2, 30))
+    want = np.asarray(x_theta, np.float32) - c_real + np.asarray(y32, np.float32)
+    np.testing.assert_allclose(exact, want, atol=1e-5)
+    assert not np.allclose(exact, raw)  # the real codec actually differs
+
+    # encoder-reuse path threads x̂_last through its group scan too
+    exact_er = np.asarray(
+        sampler.sample(params, y32, final_exact=True, encoder_reuse=2, **kw)
+    )
+    assert exact_er.shape == y32.shape and np.all(np.isfinite(exact_er))
+
+
+def test_per_sample_quality_vector(y32):
+    """sample() with a [B] quality vector restores each image at its own
+    quality: each element must match the scalar-quality run of the same
+    batch (qualities chosen so the batch-scalar phase gate agrees)."""
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    kw = dict(steps=4, key=jax.random.PRNGKey(5))
+
+    q_vec = jnp.asarray([50.0, 30.0])
+    out_vec = np.asarray(sampler.sample(params, y32, q_vec, **kw))
+    out_50 = np.asarray(sampler.sample(params, y32, 50, **kw))
+    out_30 = np.asarray(sampler.sample(params, y32, 30, **kw))
+    np.testing.assert_allclose(out_vec[0], out_50[0], atol=1e-5)
+    np.testing.assert_allclose(out_vec[1], out_30[1], atol=1e-5)
+    assert not np.allclose(out_vec[1], out_50[1])  # quality actually differs
+
+    # per-sample protection blend
+    from ddpm_image_restoration_tpu.diffusion.ddrm import quality_gated_blend
+
+    restored = jnp.ones_like(y32)
+    blended = quality_gated_blend(restored, y32, jnp.asarray([50.0, 95.0]),
+                                  70.0, 90.0)
+    np.testing.assert_allclose(np.asarray(blended[0]), np.asarray(restored[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(blended[1]), np.asarray(y32[1]),
+                               atol=1e-6)
