@@ -114,3 +114,71 @@ def test_eval_harness_end_to_end(tmp_path):
     table = format_comparative_table(summary)
     assert "JPEG" in table and "PSNR" in table
     json.loads((tmp_path / "metrics_summary.json").read_text())
+
+
+def test_lpips_alex_matches_torch(rng, tmp_path):
+    """Canonical-LPIPS path: random AlexNet-shaped torch checkpoints pass
+    through scripts/import_metric_weights.py and the jnp forward must match
+    an independent torch recomputation of the LPIPS formula (topology,
+    padding, floor-mode pooling, scaling layer, calibration)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    import scripts.import_metric_weights as imw
+
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    keys = imw._ALEX_CONV_KEYS
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for k, s in zip(keys, shapes):
+        sd[f"{k}.weight"] = torch.randn(s, generator=g) * 0.05
+        sd[f"{k}.bias"] = torch.randn(s[0], generator=g) * 0.01
+    lin_sd = {f"lin{i}.model.1.weight":
+              torch.rand((1, s[0], 1, 1), generator=g) for i, s in enumerate(shapes)}
+    alex_pth, lin_pth = tmp_path / "alex.pth", tmp_path / "lin.pth"
+    torch.save(sd, alex_pth)
+    torch.save(lin_sd, lin_pth)
+    npz = imw.convert_lpips(str(alex_pth), str(lin_pth), str(tmp_path / "w.npz"))
+
+    lp = LPIPS(weights_path=npz)
+    assert lp.name == "lpips_alex"
+    a = rng.uniform(-1, 1, (2, 64, 64, 3)).astype("f")
+    b = np.clip(a + 0.1 * rng.standard_normal(a.shape).astype("f"), -1, 1)
+    got = np.asarray(lp(a, b))
+
+    # independent torch recomputation
+    from ddpm_image_restoration_tpu.evaluation.lpips import _SCALE, _SHIFT
+
+    def feats(x):
+        ws = [sd[f"{k}.weight"] for k in keys]
+        bs = [sd[f"{k}.bias"] for k in keys]
+        f0 = F.relu(F.conv2d(x, ws[0], bs[0], stride=4, padding=2))
+        h = F.max_pool2d(f0, 3, 2)
+        f1 = F.relu(F.conv2d(h, ws[1], bs[1], padding=2))
+        h = F.max_pool2d(f1, 3, 2)
+        f2 = F.relu(F.conv2d(h, ws[2], bs[2], padding=1))
+        f3 = F.relu(F.conv2d(f2, ws[3], bs[3], padding=1))
+        f4 = F.relu(F.conv2d(f3, ws[4], bs[4], padding=1))
+        return [f0, f1, f2, f3, f4]
+
+    def norm(f):
+        return f / (f.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+
+    ta = (torch.from_numpy(a.transpose(0, 3, 1, 2))
+          - torch.tensor(_SHIFT).view(1, 3, 1, 1)) / torch.tensor(_SCALE).view(1, 3, 1, 1)
+    tb = (torch.from_numpy(b.transpose(0, 3, 1, 2))
+          - torch.tensor(_SHIFT).view(1, 3, 1, 1)) / torch.tensor(_SCALE).view(1, 3, 1, 1)
+    want = torch.zeros(2)
+    for i, (fa, fb) in enumerate(zip(feats(ta), feats(tb))):
+        d = (norm(fa) - norm(fb)).pow(2) * lin_sd[f"lin{i}.model.1.weight"]
+        want = want + d.sum(1).mean((1, 2))
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_import_metric_weights_probe(capsys):
+    import scripts.import_metric_weights as imw
+
+    assert imw.main([]) == 0
+    out = capsys.readouterr().out
+    assert "LPIPS npz" in out and "InceptionV3" in out
