@@ -52,9 +52,11 @@ def main(argv=None):
     ap.add_argument("--quality", default="30",
                     help="quality the inputs were compressed at, or 'auto': "
                          "estimate per file from the bitstream "
-                         "(codecs/estimate.py), take the batch median, and "
-                         "snap to {10,30,50,70,90} so the sampler compiles "
-                         "at most five signatures")
+                         "(codecs/estimate.py) and restore each image at its "
+                         "own quality; only the solver start step init_t "
+                         "snaps to the batch-median bucket in {10,30,50,70,"
+                         "90} so the sampler compiles at most five "
+                         "signatures")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--max-evals", type=int, default=0,
@@ -158,18 +160,29 @@ def main(argv=None):
     _BUCKETS = (10, 30, 50, 70, 90)
 
     def quality_for(batch_paths, preset):
-        """Batch quality + start step: fixed, or 'auto' from the bitstreams."""
+        """Per-file qualities + batch start step.
+
+        Fixed --quality: one scalar for everything. 'auto': estimate each
+        file's quality from its bitstream (codecs/estimate.py) and restore
+        EACH IMAGE AT ITS OWN QUALITY through the sampler's per-sample
+        quality vector (consistency projection, noise schedule, protection
+        blend). Only init_t — a static scan length, hence a compile
+        signature — is shared per batch: it snaps to the bucket nearest the
+        batch median so the solver compiles at most five signatures."""
         if args.quality != "auto":
-            q = int(args.quality)
+            q = float(int(args.quality))
+            qualities = [q] * len(batch_paths)
+            bucket = int(q)
         else:
             from ddpm_image_restoration_tpu.codecs.estimate import estimate_quality
 
             ests = [estimate_quality(p) for p in batch_paths]
-            ests = [e for e in ests if e is not None] or [30]
-            med = float(np.median(ests))
-            q = min(_BUCKETS, key=lambda b: abs(b - med))
-            print(f"auto quality: estimates {ests} -> bucket {q}", flush=True)
-        return q, init_timestep_for_quality(q, args.steps, preset)
+            qualities = [float(e) if e is not None else 30.0 for e in ests]
+            med = float(np.median(qualities))
+            bucket = min(_BUCKETS, key=lambda b: abs(b - med))
+            print(f"auto quality: per-file {qualities} -> init_t bucket {bucket}",
+                  flush=True)
+        return qualities, bucket, init_timestep_for_quality(bucket, args.steps, preset)
 
     def stride_for(init_t: int) -> int:
         if args.max_evals:
@@ -261,10 +274,11 @@ def main(argv=None):
                 continue
             sampler = get_sampler(batch_codec)
             key, sub = jax.random.split(key)
-            q, it = quality_for([os.path.join(args.watch, f) for f in batch_files],
-                                sampler.preset)
+            qualities, _, it = quality_for(
+                [os.path.join(args.watch, f) for f in batch_files], sampler.preset
+            )
 
-            def restore_fixed(batch: np.ndarray) -> np.ndarray:
+            def restore_fixed(batch: np.ndarray, q: float) -> np.ndarray:
                 return np.asarray(
                     sampler.sample(params, jnp.asarray(batch), q,
                                    it, key=sub, stride=stride_for(it),
@@ -274,10 +288,11 @@ def main(argv=None):
                 )
 
             finish(batch_files, [
-                restore_tiled(restore_fixed, img,
+                # every tile of one image shares that image's own quality
+                restore_tiled(lambda b, q=q: restore_fixed(b, q), img,
                               mcfg.image_size, overlap=args.tile_overlap,
                               batch_size=args.batch_size)
-                for img in images
+                for img, q in zip(images, qualities)
             ])
         print(f"done; served {served} images", flush=True)
         return
@@ -301,8 +316,18 @@ def main(argv=None):
                 [imgs, np.zeros((args.batch_size - n, *imgs.shape[1:]), np.float32)]
             )
         key, sub = jax.random.split(key)
-        q, it = quality_for([os.path.join(args.watch, f) for f in batch_files],
-                            sampler.preset)
+        qualities, bucket, it = quality_for(
+            [os.path.join(args.watch, f) for f in batch_files], sampler.preset
+        )
+        # pad the quality vector alongside the image padding; a scalar when
+        # the batch is quality-uniform (shares the compiled signature with
+        # fixed --quality serving)
+        if len(set(qualities)) == 1:
+            q = qualities[0]
+        else:
+            q = jnp.asarray(
+                qualities + [float(bucket)] * (args.batch_size - n), jnp.float32
+            )
         out = sampler.sample(params, place(imgs), q, it,
                              key=sub, stride=stride_for(it),
                              protect=tuple(args.protect) if args.protect else None,

@@ -238,3 +238,30 @@ def test_serve_codec_auto_groups_batches(tmp_path):
     ])
     assert len(list(out.glob("*_restored.png"))) == 4
     assert not list(watch.glob("*.jpg")) and not list(watch.glob("*.webp"))
+
+
+@pytest.mark.slow
+def test_serve_auto_per_sample_quality(tmp_path, capsys):
+    """--quality auto with MIXED-quality uploads in one batch: each file is
+    estimated from its bitstream and restored at its own quality via the
+    sampler's per-sample quality vector (init_t stays batch-bucketed)."""
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(watch / "lo.jpg", quality=12)
+    Image.fromarray(arr).save(watch / "hi.jpg", quality=88)
+    out = tmp_path / "out"
+    main([
+        "--watch", str(watch), "--output-dir", str(out), "--codec", "jpeg",
+        *TINY_FLAGS, "--random-init", "--quality", "auto", "--steps", "4",
+        "--batch-size", "2", "--once",
+    ])
+    logs = capsys.readouterr().out
+    assert len(list(out.glob("*_restored.png"))) == 2
+    # both per-file estimates appear (JPEG quality is recoverable from the
+    # quant tables), and they differ -> the batch was NOT snapped to one q
+    line = [l for l in logs.splitlines() if "per-file" in l][0]
+    assert "12" in line and "88" in line
