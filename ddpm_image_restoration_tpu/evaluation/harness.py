@@ -30,7 +30,11 @@ from ddpm_image_restoration_tpu.codecs.quality import init_timestep_for_quality
 from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
 from ddpm_image_restoration_tpu.diffusion.ensemble import sample_ensemble
 from ddpm_image_restoration_tpu.diffusion.losses import ssim
-from ddpm_image_restoration_tpu.evaluation.fid import default_feature_extractor, fid_between
+from ddpm_image_restoration_tpu.evaluation.fid import (
+    compute_statistics,
+    default_feature_extractor,
+    frechet_distance,
+)
 from ddpm_image_restoration_tpu.evaluation.lpips import LPIPS
 from ddpm_image_restoration_tpu.utils.viz import save_restoration_grid
 
@@ -92,6 +96,18 @@ def evaluate_restoration(
     extractor = default_feature_extractor() if cfg.compute_fid else None
     wrapped = {"params": params} if "params" not in params else params
 
+    # FID is computed from STREAMED per-batch features, never from the full
+    # image sets in RAM (the reference's full test split at 128^2+ would not
+    # fit): extract the originals' statistics once, then per quality only
+    # [N, D] feature blocks accumulate.
+    orig_stats = None
+    if cfg.compute_fid:
+        orig_feats = np.concatenate([
+            extractor(_to01(images[i : i + batch_size]))
+            for i in range(0, len(images), batch_size)
+        ])
+        orig_stats = compute_statistics(orig_feats)
+
     results: Dict[str, Dict[str, float]] = {}
     key = jax.random.PRNGKey(0)
 
@@ -128,8 +144,8 @@ def evaluate_restoration(
                 acc[f"{tag}_lpips"] += list(np.asarray(lpips_fn(img, x0)))
 
             if cfg.compute_fid:
-                comp_all.append(_to01(y))
-                rest_all.append(_to01(restored))
+                comp_all.append(extractor(_to01(y)))
+                rest_all.append(extractor(_to01(restored)))
 
             if i == 0 and save_examples:
                 save_restoration_grid(
@@ -142,9 +158,12 @@ def evaluate_restoration(
 
         row = {k: float(np.mean(v)) for k, v in acc.items()}
         if cfg.compute_fid:
-            x_all = _to01(images)
-            row["compressed_fid"] = fid_between(np.concatenate(comp_all), x_all, extractor)
-            row["restored_fid"] = fid_between(np.concatenate(rest_all), x_all, extractor)
+            row["compressed_fid"] = frechet_distance(
+                *compute_statistics(np.concatenate(comp_all)), *orig_stats
+            )
+            row["restored_fid"] = frechet_distance(
+                *compute_statistics(np.concatenate(rest_all)), *orig_stats
+            )
             row["fid_kind"] = extractor.name
         row["images_per_sec"] = n_restored / (time.time() - t_start)
         results[str(quality)] = row
