@@ -54,12 +54,25 @@ def main():
     x = jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(jnp.bfloat16)
     print(f"platform={jax.devices()[0].platform} shape={shape} bf16")
 
-    for impl in ("shifts", "blockdiag", "kron"):
+    os.environ["DDPM_IR_DCT_IMPL"] = "kron"
+    ref = np.asarray(
+        dct_mod.spatial_block_dct(x, args.block_size), dtype=np.float32
+    )
+    for impl in ("shifts", "blockdiag", "kron", "pallas"):
         os.environ["DDPM_IR_DCT_IMPL"] = impl
-        ms = timed_scan(
-            lambda t: dct_mod.spatial_block_dct(t, args.block_size), x
-        )
-        print(f"  dct[{impl:9s}]  {ms:7.3f} ms/iter")
+        try:
+            got = np.asarray(
+                dct_mod.spatial_block_dct(x, args.block_size), dtype=np.float32
+            )
+            err = float(np.max(np.abs(got - ref)))
+            ms = timed_scan(
+                lambda t: dct_mod.spatial_block_dct(t, args.block_size), x
+            )
+        except Exception as e:  # e.g. Mosaic compile failure on real TPU
+            print(f"  dct[{impl:9s}]  FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}")
+            continue
+        print(f"  dct[{impl:9s}]  {ms:7.3f} ms/iter  max|err vs kron|={err:.3e}")
 
     half = jnp.asarray(
         rng.normal(size=(args.batch, args.size // 2, args.size // 2,
