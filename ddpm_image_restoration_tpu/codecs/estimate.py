@@ -336,14 +336,13 @@ def _parse_av1_base_q_idx(frame_header: bytes, s: _Seq) -> Optional[int]:
         height = r.f(s.frame_height_bits) + 1
     else:
         width, height = s.max_w, s.max_h
-    # superres_params()
+    # superres_params(): SuperresDenom = coded_denom + SUPERRES_DENOM_MIN (9),
+    # FrameWidth = (UpscaledWidth * SUPERRES_NUM (8) + denom/2) / denom
     superres_on = bool(s.enable_superres and r.f(1))
-    if superres_on:
-        r.f(3)  # coded_denom — UpscaledWidth != FrameWidth
     upscaled_eq_frame = not superres_on
     if superres_on:
-        denom = 9 + 0  # value irrelevant beyond the width change flag
-        width = (width * 8 + denom // 2) // denom  # approximate; only tiles use it
+        denom = r.f(3) + 9
+        width = (width * 8 + denom // 2) // denom
     # render_size()
     if r.f(1):  # render_and_frame_size_different
         r.f(16)

@@ -197,6 +197,38 @@ def test_avif_quality_estimation(tmp_path):
     assert parse_avif_base_q_idx(b"nonsense") is None
 
 
+def test_avif_superres_frame_header_exact():
+    """Superres frames use the CODED denominator (coded_denom + 9), not an
+    assumed one: with max_w=8192 and denom=16 the downscaled frame width is
+    4096 (64 superblock columns, min_log2_tile_cols=0); a wrong denominator
+    yields 114 sb columns, forcing min_log2_tile_cols=1 and mis-walking
+    tile_info past the wrong number of bits before base_q_idx."""
+    from ddpm_image_restoration_tpu.codecs.estimate import (
+        _parse_av1_base_q_idx,
+        _Seq,
+    )
+
+    s = _Seq()
+    s.decoder_model_info_present = 0
+    s.reduced = 1
+    s.force_screen_content_tools = 2
+    s.force_integer_mv = 2
+    s.frame_id_numbers_present = 0
+    s.enable_order_hint = 0
+    s.order_hint_bits = 0
+    s.frame_width_bits = 16
+    s.frame_height_bits = 16
+    s.max_w, s.max_h = 8192, 64
+    s.enable_superres = 1
+    s.use_128x128_superblock = 0
+
+    # disable_cdf_update=0, allow_sct=0, use_superres=1, coded_denom=0b111
+    # (denom 16), render_size_diff=0, uniform_tile_spacing=1,
+    # increment_tile_cols_log2=0, base_q_idx=0b10001001 (137)
+    header = bytes([0b00111101, 0b01000100, 0b10000000])
+    assert _parse_av1_base_q_idx(header, s) == 137
+
+
 def test_detect_codec(tmp_path, small_images):
     """Magic-byte codec detection (--codec auto dispatch): every codec the
     PIL frontend can write must round-trip through detect_codec; PNG and
