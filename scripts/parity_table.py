@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Side-by-side parity table: our eval summaries vs the reference's published numbers.
+
+Reads the `metrics_summary*.json` files produced by
+`ddpm_image_restoration_tpu.cli.evaluate` (one per codec/config) and emits a
+BASELINE.md-format markdown table comparing our compressed->restored deltas
+against the reference's published ImageNet-val tables
+(/root/reference/README.md:15-21, produced by
+/root/reference/webp_inference.py:604-858 and avif_inference.py:462-716;
+values transcribed in SURVEY.md section 6 / BASELINE.md).
+
+Usage:
+    python scripts/parity_table.py results/r2_parity --out results/r2_parity/PARITY_TABLE.md
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+# Reference published deltas (restored - compressed), ImageNet-val 64x64.
+# BASELINE.md / SURVEY.md section 6. JPEG's table publishes gains only (50 samples).
+REFERENCE = {
+    "webp": {  # q: (dPSNR, dSSIM, dLPIPS: positive = improvement in the ref tables)
+        0: (+0.16, +0.0064, +0.0108),
+        5: (+0.45, +0.0095, +0.0096),
+        10: (+0.53, +0.0103, +0.0087),
+        30: (+0.70, +0.0105, +0.0066),
+        50: (+0.79, +0.0097, +0.0051),
+        70: (+0.77, +0.0077, +0.0038),
+        90: (+0.43, +0.0020, +0.0007),
+    },
+    "jpeg": {
+        10: (+0.44, +0.0215, +0.0049),
+        20: (+0.59, +0.0209, +0.0034),
+        30: (+0.66, +0.0182, +0.0005),
+        50: (+0.78, +0.0153, -0.0010),
+    },
+    "avif": {
+        1: (+0.05, +0.0048, +0.0157),
+        10: (+0.13, +0.0072, +0.0145),
+        20: (+0.25, +0.0090, +0.0114),
+        30: (+0.40, +0.0092, +0.0087),
+        50: (+0.57, +0.0071, +0.0035),
+        70: (+0.58, +0.0042, +0.0011),
+        90: (+0.43, +0.0023, +0.0004),
+    },
+}
+
+
+def load_summary(path: Path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def fmt_delta(v, digits=2, plus=True):
+    if v is None:
+        return "—"
+    s = f"{v:+.{digits}f}" if plus else f"{v:.{digits}f}"
+    return s
+
+
+def table_for(codec: str, summary: dict, label: str) -> list[str]:
+    ref = REFERENCE.get(codec, {})
+    lines = [
+        f"### {codec.upper()} — {label} "
+        f"({summary.get('num_images', '?')} images, steps={summary.get('steps')}, "
+        f"consistency={summary.get('consistency_mode')})",
+        "",
+        "| Q | ours PSNR comp→rest (Δ) | ref ΔPSNR | ours ΔSSIM | ref ΔSSIM | ours ΔLPIPS† | ref ΔLPIPS |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    results = summary["results"]
+    for q_str, m in sorted(results.items(), key=lambda kv: int(kv[0])):
+        q = int(q_str)
+        dpsnr = m["restored_psnr"] - m["compressed_psnr"]
+        dssim = m["restored_ssim"] - m["compressed_ssim"]
+        # Reference tables report LPIPS *improvement* (compressed - restored).
+        dlpips = m["compressed_lpips"] - m["restored_lpips"]
+        r = ref.get(q)
+        lines.append(
+            f"| {q} | {m['compressed_psnr']:.2f}→{m['restored_psnr']:.2f} "
+            f"({fmt_delta(dpsnr)}) | {fmt_delta(r[0]) if r else '—'} "
+            f"| {fmt_delta(dssim, 4)} | {fmt_delta(r[1], 4) if r else '—'} "
+            f"| {fmt_delta(dlpips, 4)} | {fmt_delta(r[2], 4) if r else '—'} |"
+        )
+    lines.append("")
+    return lines
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root", type=Path, help="directory containing <codec>_*/metrics_summary*.json")
+    ap.add_argument("--out", type=Path, default=None)
+    args = ap.parse_args(argv)
+
+    sections = [
+        "# Round-2 quality parity — ours vs the reference's published tables",
+        "",
+        "Ours: full-width UNet (reference architecture scale), synthetic 64×64 training set,",
+        "held-out synthetic eval (seed 99). Reference: ImageNet-val 64×64, 100 epochs",
+        "(`/root/reference/README.md:15-21`). **Dataset gap**: no ImageNet data exists in",
+        "this environment, so reference deltas are listed for scale, not strict parity —",
+        "same metric definitions, same quality grids, different image distribution.",
+        "† LPIPS columns: the reference uses AlexNet LPIPS; ours is the calibrated proxy",
+        "unless canonical weights are present (`scripts/import_metric_weights.py`), so",
+        "compare signs/trends, not magnitudes.",
+        "",
+    ]
+    found = 0
+    for sub in sorted(args.root.iterdir()):
+        if not sub.is_dir():
+            continue
+        for js in sorted(sub.glob("metrics_summary*.json")):
+            summary = load_summary(js)
+            codec = summary.get("codec", "?").lower()
+            sections += table_for(codec, summary, sub.name)
+            found += 1
+    if not found:
+        raise SystemExit(f"no metrics_summary*.json found under {args.root}")
+    text = "\n".join(sections) + "\n"
+    if args.out:
+        args.out.write_text(text)
+        print(f"wrote {args.out} ({found} summaries)")
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()
