@@ -30,6 +30,11 @@ def main(argv=None):
                     choices=["waves", "dead_leaves", "mixed"],
                     help="synthetic generator (dead_leaves = natural-image-"
                          "statistics proxy: occluding power-law disks)")
+    ap.add_argument("--real", type=int, default=0, metavar="N",
+                    help="evaluate on N real photographic patches harvested "
+                         "from library-bundled images (-1 = all; the 'eval' "
+                         "split, disjoint from --real training patches at "
+                         "the same seed). Combines with --synthetic.")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--use-ema", action="store_true",
                     help="evaluate the EMA params from a checkpoint trained "
@@ -73,6 +78,7 @@ def main(argv=None):
 
     from ddpm_image_restoration_tpu.config import TrainConfig
     from ddpm_image_restoration_tpu.data import (
+        ConcatDataset,
         ImageFolderDataset,
         SyntheticImageDataset,
         split_indices,
@@ -104,10 +110,20 @@ def main(argv=None):
         raise SystemExit("--use-ema: checkpoint has no EMA params "
                          "(train with --ema-decay > 0)")
 
+    parts = []
     if args.synthetic:
-        ds = SyntheticImageDataset(args.synthetic, cfg.model.image_size,
-                                   seed=args.synthetic_seed,
-                                   kind=args.synthetic_kind)
+        parts.append(SyntheticImageDataset(args.synthetic,
+                                           cfg.model.image_size,
+                                           seed=args.synthetic_seed,
+                                           kind=args.synthetic_kind))
+    if args.real:
+        from ddpm_image_restoration_tpu.data import RealPatchDataset
+
+        parts.append(RealPatchDataset(
+            0 if args.real < 0 else args.real, cfg.model.image_size,
+            seed=args.synthetic_seed, split="eval"))
+    if parts:
+        ds = parts[0] if len(parts) == 1 else ConcatDataset(*parts)
         test_idx = np.arange(len(ds))
     else:
         ds = ImageFolderDataset(args.data_dir, cfg.model.image_size)

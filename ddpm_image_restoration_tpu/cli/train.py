@@ -30,6 +30,10 @@ def main(argv=None):
                     choices=["waves", "dead_leaves", "mixed"],
                     help="synthetic generator (dead_leaves = natural-image-"
                          "statistics proxy: occluding power-law disks)")
+    ap.add_argument("--real", type=int, default=0, metavar="N",
+                    help="append N real photographic patches from library-"
+                         "bundled images to the training set (-1 = all; the "
+                         "'train' split — disjoint from evaluate --real)")
     ap.add_argument("--fsdp", action="store_true",
                     help="shard params/optimizer/EMA over the data axis "
                          "(FSDP/ZeRO-3 style; XLA all-gathers + "
@@ -66,6 +70,15 @@ def main(argv=None):
         dataset = SyntheticImageDataset(
             args.synthetic, cfg.model.image_size, kind=args.synthetic_kind
         )
+    if args.real:
+        from ddpm_image_restoration_tpu.data import (
+            ConcatDataset,
+            RealPatchDataset,
+        )
+
+        real = RealPatchDataset(0 if args.real < 0 else args.real,
+                                cfg.model.image_size, split="train")
+        dataset = real if dataset is None else ConcatDataset(dataset, real)
 
     from ddpm_image_restoration_tpu.train.loop import train_model
 

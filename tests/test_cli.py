@@ -265,3 +265,21 @@ def test_serve_auto_per_sample_quality(tmp_path, capsys):
     # quant tables), and they differ -> the batch was NOT snapped to one q
     line = [l for l in logs.splitlines() if "per-file" in l][0]
     assert "12" in line and "88" in line
+
+
+@pytest.mark.slow
+def test_evaluate_real_patches(tmp_path):
+    """--real: the evaluate CLI runs on bundled real-photo patches."""
+    import json
+
+    from ddpm_image_restoration_tpu.cli.evaluate import main as eval_main
+
+    out = tmp_path / "eval"
+    eval_main([
+        "--codec", "webp", *TINY_FLAGS, "--random-init", "--real", "4",
+        "--steps", "4", "--qualities", "30", "--no-fid", "--batch-size", "4",
+        "--output-dir", str(out),
+    ])
+    summary = json.load(open(out / "metrics_summary.json"))
+    assert summary["num_images"] == 4
+    assert "30" in summary["results"]

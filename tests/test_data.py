@@ -246,3 +246,49 @@ def test_degradation_loader_unified_all():
         np.testing.assert_array_equal(b["xt"][jpeg_rows], jb["xt"][jpeg_rows])
     if (~jpeg_rows).any():
         assert np.abs(b["xt"][~jpeg_rows] - jb["xt"][~jpeg_rows]).max() > 0
+
+
+def test_real_patches_deterministic_and_disjoint():
+    """Real-photo patches: deterministic, correctly ranged, split-disjoint."""
+    from ddpm_image_restoration_tpu.data import RealPatchDataset
+
+    ds = RealPatchDataset(image_size=64)
+    assert len(ds) > 50  # three bundled photos tile into hundreds of crops
+    x = ds[0]
+    assert x.shape == (64, 64, 3) and x.dtype == np.float32
+    assert -1.0 <= x.min() and x.max() <= 1.0
+    np.testing.assert_array_equal(x, RealPatchDataset(image_size=64)[0])
+    tr = RealPatchDataset(image_size=64, split="train")
+    ev = RealPatchDataset(image_size=64, split="eval")
+    assert len(tr) + len(ev) == len(ds)
+    # disjoint: no eval patch appears among train patches
+    tr_set = {tr[i].tobytes() for i in range(len(tr))}
+    assert all(ev[i].tobytes() not in tr_set for i in range(len(ev)))
+    # truncation keeps a prefix of the shuffled order
+    np.testing.assert_array_equal(
+        RealPatchDataset(8, image_size=64, split="eval")[3], ev[3])
+
+
+def test_real_patches_not_flat():
+    """The min-std filter rejects near-constant tiles."""
+    from ddpm_image_restoration_tpu.data import RealPatchDataset
+
+    ds = RealPatchDataset(image_size=64)
+    for i in range(0, len(ds), 17):
+        g = ((ds[i] + 1.0) / 2.0).mean(axis=-1)
+        assert g.std() >= 0.03
+
+
+def test_concat_dataset():
+    from ddpm_image_restoration_tpu.data import ConcatDataset
+
+    a = SyntheticImageDataset(5, 16, seed=1)
+    b = SyntheticImageDataset(3, 16, seed=2)
+    c = ConcatDataset(a, b)
+    assert len(c) == 8
+    np.testing.assert_array_equal(c[0], a[0])
+    np.testing.assert_array_equal(c[4], a[4])
+    np.testing.assert_array_equal(c[5], b[0])
+    np.testing.assert_array_equal(c[-1], b[2])
+    with pytest.raises(ValueError):
+        ConcatDataset(a, SyntheticImageDataset(3, 32, seed=2))
