@@ -297,7 +297,9 @@ def main():
             print(
                 json.dumps(
                     {
-                        "metric": f"images/sec/chip at {args.size}^2 full DDPM restore "
+                        "metric": f"images/sec/chip at {args.size}^2 "
+                        + ("reference-parity" if args.stride == 1 else "production")
+                        + " DDRM restore "
                         f"({args.steps} steps, stride {args.stride}, q={args.quality}, "
                         f"batch {b}, {args.attn} attn"
                         + (f", enc-reuse {args.encoder_reuse}" if args.encoder_reuse > 1 else "")
