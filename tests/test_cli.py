@@ -73,6 +73,7 @@ def test_serve_quarantines_corrupt_inputs(tmp_path):
     assert (watch / "rejected" / "broken.png").exists()
 
 
+@pytest.mark.slow
 def test_serve_dp_must_divide_batch(tmp_path):
     from ddpm_image_restoration_tpu.cli.serve import main
 

@@ -41,6 +41,7 @@ def test_student_stride_counts():
     assert student_stride(70, 100) == 1
 
 
+@pytest.mark.slow
 def test_distill_step_runs_and_moves_params(tmp_path):
     cfg = tiny_cfg(tmp_path)
     from ddpm_image_restoration_tpu.models import build_model
@@ -69,6 +70,7 @@ def test_distill_step_runs_and_moves_params(tmp_path):
     assert diff > 0
 
 
+@pytest.mark.slow
 def test_distill_end_to_end(tmp_path):
     """Teacher 1-epoch train -> distill 2 epochs -> student checkpoint loads
     and restores with 1 eval."""

@@ -41,6 +41,7 @@ def _init_and_run(codec, x, **kw):
 
 
 @pytest.mark.parametrize("codec", ["webp", "jpeg", "avif"])
+@pytest.mark.slow
 def test_forward_shape_and_range(codec, small_images):
     x = jnp.asarray(small_images)
     _, params, out = _init_and_run(codec, x)
@@ -120,6 +121,7 @@ def test_dropout_stochastic_in_train_mode(small_images):
     assert float(jnp.abs(o1 - o2).mean()) > 1e-7
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype(small_images):
     cfg = TINY.__class__(**{**TINY.__dict__, "compute_dtype": "bfloat16"})
     x = jnp.asarray(small_images)
@@ -133,6 +135,7 @@ def test_bf16_compute_dtype(small_images):
     assert leaf.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_remat_identical_outputs_and_grads(small_images):
     """cfg.remat must change memory behaviour only: same param tree, same
     forward outputs, same gradients."""
@@ -158,6 +161,7 @@ def test_remat_identical_outputs_and_grads(small_images):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_codec_conditioning_unified_model(small_images):
     """build_model('all') auto-enables codec conditioning: the param tree
     gains a codec_embed table, codec_id is REQUIRED, and different codec ids
@@ -193,6 +197,7 @@ def test_codec_conditioning_unified_model(small_images):
     assert not dataclasses.asdict(plain.cfg)["codec_conditioning"]
 
 
+@pytest.mark.slow
 def test_codec_conditioning_encode_decode_split(small_images):
     """encode/decode with codec_id must equal __call__ with codec_id (the
     solver's encoder-reuse path needs the conditioned split too)."""

@@ -67,6 +67,7 @@ def test_param_shardings_model_axis():
     assert all(specs[k] == P() for k in out_conv)
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(rng):
     """Data-parallel over 8 devices must match single-device numerics."""
     cfg = _cfg()
@@ -91,6 +92,7 @@ def test_dp_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fsdp_matches_single_device(rng):
     """FSDP param sharding over the data axis: numerics match the
     single-device step, and large params are actually sharded on 'data'
@@ -123,6 +125,7 @@ def test_fsdp_matches_single_device(rng):
             assert len(sharded) > 0
 
 
+@pytest.mark.slow
 def test_sharded_step_with_ema(rng):
     """ema_params must flow through shard_train_step (sharded like params)
     on both 1-D and 2-D meshes."""
@@ -145,6 +148,7 @@ def test_sharded_step_with_ema(rng):
         assert not np.allclose(np.asarray(e), np.asarray(p))
 
 
+@pytest.mark.slow
 def test_2d_mesh_train_step(rng):
     """(data=4, model=2) mesh: XLA inserts channel all-gathers; loss finite
     and matches the single-device step."""
@@ -164,6 +168,7 @@ def test_2d_mesh_train_step(rng):
     assert int(s2.step) == 1
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import importlib.util, pathlib
 
@@ -176,6 +181,7 @@ def test_graft_dryrun_multichip():
     mod.dryrun_multichip(2)  # 1-D data-only mesh path
 
 
+@pytest.mark.slow
 def test_restore_batch_sharded(rng):
     """Restoration is embarrassingly parallel: sampler over a data-sharded
     batch runs unchanged."""
@@ -196,6 +202,7 @@ def test_restore_batch_sharded(rng):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_dp_restore_matches_single_device(rng):
     """shard_inference DP restoration == single-device restoration for the
     same key (noise inside the scan is sharding-invariant under JAX's
@@ -220,6 +227,7 @@ def test_dp_restore_matches_single_device(rng):
     np.testing.assert_allclose(dp, single, rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_restore_matches_single_device(rng):
     """shard_inference_spatial (image H axis over the mesh) == single-device
     restoration: XLA inserts conv halo exchanges / gathers for global ops,

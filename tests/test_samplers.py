@@ -105,6 +105,7 @@ def test_quality_gated_protect(y32):
     )
 
 
+@pytest.mark.slow
 def test_ddrm_real_model_smoke(y32):
     model = build_model("webp", TINY)
     params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
@@ -122,6 +123,7 @@ def test_ddrm_callback_mode(y32):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_ddrm_host_loop_matches_callback(y32):
     """'host_loop' (per-step jit + host codec, for platforms whose PJRT
     lacks host callbacks — the axon tunnel raises UNIMPLEMENTED) must
@@ -142,6 +144,7 @@ def test_ddrm_host_loop_matches_callback(y32):
     assert not np.allclose(out_cb5, out_cb)  # stride actually changes the path
 
 
+@pytest.mark.slow
 def test_ddrm_residual_mode(y32):
     model = build_model("webp", TINY)
     params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
@@ -174,6 +177,7 @@ def test_gaussian_mixture_sampler(y32):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_ddrm_encoder_reuse(y32):
     """encoder_reuse=k caches encoder features across solver steps
     (encoder-propagation): runs, stays finite, differs from the full path,
@@ -193,6 +197,7 @@ def test_ddrm_encoder_reuse(y32):
         sampler.sample(params, y32, encoder_reuse=0, **kw)
 
 
+@pytest.mark.slow
 def test_ddrm_encoder_reuse_host_loop_matches_callback(y32):
     """The host-loop execution shape must reproduce the scan exactly under
     encoder reuse as well (same codec, same key-split order, same caching
@@ -207,6 +212,7 @@ def test_ddrm_encoder_reuse_host_loop_matches_callback(y32):
     np.testing.assert_allclose(out_hl, out_cb, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ddrm_decoder_reuse_depth(y32):
     """decoder_reuse_depth=d caches the deep decoder stages across each
     encoder-reuse group (DeepCache-style): runs, stays finite, differs from
@@ -229,6 +235,7 @@ def test_ddrm_decoder_reuse_depth(y32):
         )
 
 
+@pytest.mark.slow
 def test_ddrm_decoder_reuse_host_loop_matches_callback(y32):
     """host_loop must reproduce the scan under decoder reuse too (same
     caching positions, same key-split order)."""
@@ -352,6 +359,7 @@ def test_sample_ensemble_averages_variants(y32):
     assert not np.allclose(np.asarray(got), single)
 
 
+@pytest.mark.slow
 def test_ddrm_unified_codec_id(y32):
     """A unified ('all') model restores through per-codec samplers: the
     conditioning id is closed over the compiled solver, and different ids
@@ -382,6 +390,7 @@ def test_ddrm_unified_codec_id(y32):
 # --- exact final projection + per-sample quality (round 2) ---
 
 
+@pytest.mark.slow
 def test_final_exact_projection(y32):
     """final_exact recomputes the LAST consistency projection with the
     bit-exact host codec: sample(final_exact=True) must equal
@@ -416,6 +425,7 @@ def test_final_exact_projection(y32):
     assert exact_er.shape == y32.shape and np.all(np.isfinite(exact_er))
 
 
+@pytest.mark.slow
 def test_per_sample_quality_vector(y32):
     """sample() with a [B] quality vector restores each image at its own
     quality: each element must match the scalar-quality run of the same

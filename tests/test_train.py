@@ -53,6 +53,7 @@ def _fake_batch(rng, b=4, s=16):
     }
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(rng):
     cfg = tiny_cfg()
     model = build_model(cfg.codec, cfg.model)
@@ -70,6 +71,7 @@ def test_train_step_reduces_loss(rng):
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, rng):
     cfg = tiny_cfg(tmp_path / "ckpt")
     model = build_model(cfg.codec, cfg.model)
@@ -94,6 +96,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_ema_update_math_and_checkpoint(tmp_path, rng):
     """EMA tracks params with the configured decay (exact one-step algebra),
     defaults to off, and round-trips through Orbax."""
@@ -152,6 +155,7 @@ def test_ema_update_math_and_checkpoint(tmp_path, rng):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_checkpoint_ema_compat_both_ways(tmp_path, rng):
     """Checkpoints must load across the optional ema_params field:
     pre-EMA ckpt -> EMA-enabled state (EMA None, callers decide), and
@@ -216,6 +220,7 @@ def test_end_to_end_mini_training(tmp_path):
     assert (tmp_path / "run" / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_resume_continues(tmp_path):
     from ddpm_image_restoration_tpu.train.loop import train_model
 
@@ -254,6 +259,7 @@ def test_checkpoint_retention_keeps_latest_and_best(tmp_path):
     m2.close()
 
 
+@pytest.mark.slow
 def test_ckpt_min_interval_rate_limits_saves(tmp_path):
     """With ckpt_min_interval=3 a 5-epoch run (val-PSNR typically improving
     every epoch at this scale) must not save 5 full states: epoch 0, at most
@@ -272,6 +278,7 @@ def test_ckpt_min_interval_rate_limits_saves(tmp_path):
         assert b - a >= 3 or b == 4
 
 
+@pytest.mark.slow
 def test_unified_train_step_and_validation(tmp_path, rng):
     """--codec all end-to-end at the step level: conditioned batches train,
     loss is finite and decreases, and unified validation (one restore per
