@@ -109,6 +109,7 @@ def evaluate_restoration(
         orig_stats = compute_statistics(orig_feats)
 
     results: Dict[str, Dict[str, float]] = {}
+    cfg_stride = int(stride)  # `stride` is re-derived per quality under max_evals
     key = jax.random.PRNGKey(0)
 
     for quality in cfg.eval_qualities:
@@ -178,6 +179,11 @@ def evaluate_restoration(
         "codec": preset.name,
         "num_images": int(len(images)),
         "steps": cfg.steps,
+        # solver config, so downstream tables (scripts/parity_table.py) can
+        # label runs without relying on directory naming conventions
+        "stride": cfg_stride,
+        "max_evals": int(max_evals),
+        "encoder_reuse": int(encoder_reuse),
         "consistency_mode": cfg.consistency_mode,
         "final_exact": bool(final_exact if final_exact is not None
                             else cfg.consistency_mode == "surrogate"),

@@ -62,10 +62,17 @@ def fmt_delta(v, digits=2, plus=True):
 
 def table_for(codec: str, summary: dict, label: str) -> list[str]:
     ref = REFERENCE.get(codec, {})
+    solver = ""
+    if summary.get("max_evals"):
+        solver = f", max-evals {summary['max_evals']}"
+    elif summary.get("stride") is not None:
+        solver = f", stride {summary['stride']}"
+    if summary.get("encoder_reuse", 1) > 1:
+        solver += f", enc-reuse {summary['encoder_reuse']}"
     lines = [
         f"### {codec.upper()} — {label} "
-        f"({summary.get('num_images', '?')} images, steps={summary.get('steps')}, "
-        f"consistency={summary.get('consistency_mode')})",
+        f"({summary.get('num_images', '?')} images, steps={summary.get('steps')}"
+        f"{solver}, consistency={summary.get('consistency_mode')})",
         "",
         "| Q | ours PSNR comp→rest (Δ) | ref ΔPSNR | ours ΔSSIM | ref ΔSSIM | ours ΔLPIPS† | ref ΔLPIPS |",
         "|---|---|---|---|---|---|---|",
