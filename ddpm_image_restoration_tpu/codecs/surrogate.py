@@ -239,15 +239,21 @@ _BLOCK = {"jpeg": 8, "webp": 4, "avif": 8}
 # calibration set (scripts/calibrate_surrogate.py); linearly interpolated in
 # quality at runtime. Identity (1.0) until calibrated.
 _CALIBRATION = {
-    "jpeg": ([1, 5, 10, 20, 30, 50, 70, 85, 95, 100],
-             [1.0108, 1.0387, 1.1612, 1.5343, 1.8622, 0.9984, 1.03, 1.0816,
-              1.246, 2.4954]),
-    "webp": ([1, 5, 10, 20, 30, 50, 70, 85, 95, 100],
-             [0.6374, 0.6594, 1.1149, 1.72, 2.0878, 2.5105, 3.2773, 4.0004,
-              7.6109, 17.7268]),
-    "avif": ([1, 5, 10, 20, 30, 50, 70, 85, 95, 100],
-             [0.4777, 0.4404, 0.6389, 0.7748, 0.7885, 0.6934, 0.3884, 0.4459,
-              0.7974, 2.0384]),
+    "jpeg": ([1, 5, 10, 20, 30, 40, 50, 60, 70, 75, 80, 85, 90, 95, 100],
+             [1.0108, 1.0387, 1.1612, 1.5343, 1.8622, 0.9875, 0.9984, 1.0158,
+              1.03, 1.0391, 1.0515, 1.0816, 1.1182, 1.246, 2.4953]),
+    "webp": ([1, 5, 10, 20, 30, 40, 50, 60, 70, 75, 80, 85, 90, 95, 100],
+             [0.6374, 0.6594, 1.1149, 1.72, 2.0878, 2.3262, 2.5105, 2.7855,
+              3.2773, 3.6123, 3.6935, 4.0004, 4.7379, 7.6109, 17.7268]),
+    # AVIF needs the dense grid: the true multiplier drops sharply between
+    # q50 (0.693) and q60 (0.378) — AOM switches rate-control behavior — and
+    # linear interpolation over the old sparse knots {50,70,85,95} was ~1 dB
+    # too lossy at q90 (interp 0.62 vs calibrated 0.538), which dominated the
+    # q90 restoration regression (the real codec sits at ~44 dB there, so the
+    # solver's consistency projections inherited the full mismatch).
+    "avif": ([1, 5, 10, 20, 30, 40, 50, 60, 70, 75, 80, 85, 90, 95, 100],
+             [0.4777, 0.4404, 0.6389, 0.7748, 0.7885, 0.737, 0.6934, 0.3775,
+              0.3884, 0.3991, 0.4265, 0.4459, 0.5384, 0.7974, 2.0384]),
 }
 
 

@@ -19,6 +19,10 @@ import numpy as np
 def main():
     import jax
 
+    # The axon TPU plugin self-selects even under JAX_PLATFORMS=cpu; force
+    # the CPU backend in-process so calibration never contends for the chip.
+    jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", default=None, help="flat image dir; default synthetic")
     ap.add_argument("--n", type=int, default=32)
