@@ -12,7 +12,7 @@ cd "$(dirname "$0")/.."
 OUT="${1:-results/r2_parity}"
 mkdir -p "$OUT"
 
-for f in /tmp/queue_r2.pid /tmp/queue_r2b.pid /tmp/queue_r2c.pid; do
+for f in /tmp/queue_r2.pid /tmp/queue_r2b.pid /tmp/queue_r2f.pid; do
     if [[ -f "$f" ]]; then
         PID=$(cat "$f")
         while kill -0 "$PID" 2>/dev/null; do

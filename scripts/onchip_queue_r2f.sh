@@ -16,8 +16,7 @@ OUT="${1:-results/r2_parity}"
 mkdir -p "$OUT"
 echo $$ > /tmp/queue_r2f.pid
 
-for f in /tmp/queue_r2.pid /tmp/queue_r2b.pid /tmp/queue_r2c.pid \
-         /tmp/queue_r2d.pid /tmp/queue_r2e.pid; do
+for f in /tmp/queue_r2.pid /tmp/queue_r2b.pid; do
     if [[ -f "$f" ]]; then
         PID=$(cat "$f")
         while kill -0 "$PID" 2>/dev/null; do
