@@ -69,6 +69,18 @@ def main(argv=None):
                     help="quality-gated blend: full restoration at q<=LO, "
                     "untouched input at q>=HI (non-reference guard for "
                     "near-lossless inputs)")
+    # --- controlled-experiment overrides (preset defaults when omitted) ---
+    ap.add_argument("--eta", type=float, default=None,
+                    help="override the sampler's noise weight eta "
+                         "(webp_training.py:463; 0 = no injected noise)")
+    ap.add_argument("--eta-b", type=float, default=None,
+                    help="override the consistency blend eta_b")
+    ap.add_argument("--init-t", type=int, default=0,
+                    help="pin the solver start step for every quality "
+                         "(0 = per-quality clamp((100-q)/100*steps, lo, hi))")
+    ap.add_argument("--phase-threshold", type=int, default=None,
+                    help="override the phase-consistency quality gate "
+                         "(avif.py:518; 0 disables phase consistency)")
     args = ap.parse_args(argv)
     from ddpm_image_restoration_tpu.cli.common import resolve_codecs
 
@@ -119,9 +131,14 @@ def main(argv=None):
     if args.real:
         from ddpm_image_restoration_tpu.data import RealPatchDataset
 
+        # The real-patch split permutation is a FIXED constant (the
+        # RealPatchDataset default), NOT --synthetic-seed: train.py always
+        # splits at the default, so keying this off --synthetic-seed would
+        # silently reshuffle the split and leak training patches into the
+        # 'eval' side whenever a non-default synthetic seed is used.
         parts.append(RealPatchDataset(
             0 if args.real < 0 else args.real, cfg.model.image_size,
-            seed=args.synthetic_seed, split="eval"))
+            split="eval"))
     if parts:
         ds = parts[0] if len(parts) == 1 else ConcatDataset(*parts)
         test_idx = np.arange(len(ds))
@@ -138,7 +155,10 @@ def main(argv=None):
                          ensemble=args.ensemble,
                          max_evals=args.max_evals,
                          final_exact=False if args.no_final_exact else None,
-                         protect=tuple(args.protect) if args.protect else None)
+                         protect=tuple(args.protect) if args.protect else None,
+                         eta=args.eta, eta_b=args.eta_b,
+                         init_t_override=args.init_t,
+                         phase_threshold=args.phase_threshold)
 
 
 if __name__ == "__main__":

@@ -159,6 +159,9 @@ class ConcatDataset:
     def __getitem__(self, idx: int) -> np.ndarray:
         if idx < 0:
             idx += len(self)
+        if idx < 0 or idx >= len(self):
+            raise IndexError(f"index {idx - len(self) if idx < 0 else idx} "
+                             f"out of range for {len(self)} items")
         d = int(np.searchsorted(self._offsets, idx, side="right"))
         prev = 0 if d == 0 else int(self._offsets[d - 1])
         return self.datasets[d][idx - prev]

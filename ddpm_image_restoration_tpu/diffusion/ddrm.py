@@ -196,7 +196,17 @@ class DDRMSampler:
         stride: int = 1,
         encoder_reuse: int = 1,
         decoder_reuse_depth: int = 0,
+        remat: bool = False,
     ):
+        """`remat=True` wraps each solver step (or encoder-reuse group) in
+        `jax.checkpoint`, so differentiating THROUGH the solver — solver
+        distillation trains the student through its own unrolled run
+        (train/distill.py) — keeps only the scan carry per step instead of
+        every step's full UNet activations. Without it the backward holds
+        O(n_steps) flash-attention buffers and full-width distillation OOMs
+        HBM (round-2 postmortem: 23.9G requested vs 15.75G, two 2.25G
+        f32[8,1,18,4,1024,1024] attention-backward buffers per step). Costs
+        one extra forward per step on backward; inference ignores it."""
         preset = self.preset
         model = self.model
         consistency = self.consistency
@@ -285,22 +295,30 @@ class DDRMSampler:
                         )
                     return (x_t, x_theta, key), None
 
-                x_t, x_theta = y, y
-                if n_groups:
-                    (x_t, x_theta, key), _ = jax.lax.scan(
-                        group,
-                        (x_t, x_theta, key),
-                        (jnp.asarray(main), jnp.asarray(main_last)),
-                    )
-                if len(tail):  # leftover steps: one more encode, then reuse
+                group_body = jax.checkpoint(group) if remat else group
+
+                def tail_steps(x_t, key):
                     t0 = jnp.full((b,), int(tail[0]), jnp.float32) / steps
                     cached = group_features(encode(x_t, t0), t0)
+                    x_theta = x_t
                     for p, i in enumerate(tail):
                         key, nkey = jax.random.split(key)
                         last = jnp.asarray(p == len(tail) - 1)
                         x_t, x_theta = model_step(
                             x_t, cached, jnp.asarray(int(i)), last, nkey
                         )
+                    return x_t, x_theta
+
+                x_t, x_theta = y, y
+                if n_groups:
+                    (x_t, x_theta, key), _ = jax.lax.scan(
+                        group_body,
+                        (x_t, x_theta, key),
+                        (jnp.asarray(main), jnp.asarray(main_last)),
+                    )
+                if len(tail):  # leftover steps: one more encode, then reuse
+                    fn = jax.checkpoint(tail_steps) if remat else tail_steps
+                    x_t, x_theta = fn(x_t, key)
                 return x_t, x_theta
 
             def step(carry, xs):
@@ -319,8 +337,9 @@ class DDRMSampler:
                 )
                 return (x_t, x_theta, key), None
 
+            step_body = jax.checkpoint(step) if remat else step
             (x_final, x_theta_last, _), _ = jax.lax.scan(
-                step, (y, y, key), (idxs, lasts)
+                step_body, (y, y, key), (idxs, lasts)
             )
             return x_final, x_theta_last
 
@@ -422,15 +441,18 @@ class DDRMSampler:
         stride: int = 1,
         encoder_reuse: int = 1,
         decoder_reuse_depth: int = 0,
+        remat: bool = False,
     ):
         """The raw jitted solver fn(params, y, quality, key, eta, eta_b) for a
         static (steps, stride) — differentiable end-to-end in 'surrogate'
         mode. Used by solver distillation (train/distill.py), which trains a
-        student *through* the sampler at high stride, and by bench.py, which
-        scans it to amortise per-dispatch host latency."""
+        student *through* the sampler at high stride (pass remat=True there —
+        see _build), and by bench.py, which scans it to amortise per-dispatch
+        host latency."""
         if self.consistency_mode == "host_loop":
             raise ValueError("build_run requires an on-device consistency mode")
-        run = self._build(steps, stride, encoder_reuse, decoder_reuse_depth)
+        run = self._build(steps, stride, encoder_reuse, decoder_reuse_depth,
+                          remat=remat)
 
         def final_only(params, y, quality, key, eta, eta_b):
             return run(params, y, quality, key, eta, eta_b)[0]

@@ -73,12 +73,31 @@ def evaluate_restoration(
     ensemble: int = 1,
     max_evals: int = 0,
     final_exact=None,
+    eta=None,
+    eta_b=None,
+    init_t_override: int = 0,
+    phase_threshold=None,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
     Returns the metrics-summary dict (also written to metrics_summary.json).
+
+    Ablation overrides (all default to the preset / quality-derived values):
+    `eta`/`eta_b` replace the sampler noise/consistency weights
+    (webp_training.py:457-463), `init_t_override` > 0 pins the solver start
+    step for EVERY quality (normally init_t = clamp((100-q)/100*steps, ...)),
+    and `phase_threshold` replaces the preset's phase-consistency quality
+    gate (avif.py:518-520). Used by the controlled AVIF q1/q90 regression
+    experiments (results/r3_ablation) — each override is recorded in the
+    summary so no two runs can be confused.
     """
     preset = cfg.preset
+    if phase_threshold is not None:
+        import dataclasses
+
+        preset = dataclasses.replace(
+            preset, phase_quality_threshold=int(phase_threshold)
+        )
     os.makedirs(cfg.output_dir, exist_ok=True)
     if cfg.max_images:
         images = images[: cfg.max_images]  # AVIF caps at 500 (avif_inference.py:509-512)
@@ -114,7 +133,9 @@ def evaluate_restoration(
 
     for quality in cfg.eval_qualities:
         acc: Dict[str, List[float]] = defaultdict(list)
-        init_t = init_timestep_for_quality(quality, cfg.steps, preset)
+        init_t = init_t_override or init_timestep_for_quality(
+            quality, cfg.steps, preset
+        )
         if max_evals:  # distilled-student budget: stride derived per quality
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
@@ -133,7 +154,8 @@ def evaluate_restoration(
                                 stride=stride, protect=protect,
                                 encoder_reuse=encoder_reuse,
                                 decoder_reuse_depth=decoder_reuse_depth,
-                                final_exact=final_exact)
+                                final_exact=final_exact,
+                                eta=eta, eta_b=eta_b)
             )
             n_restored += len(x0)
 
@@ -187,6 +209,12 @@ def evaluate_restoration(
         "consistency_mode": cfg.consistency_mode,
         "final_exact": bool(final_exact if final_exact is not None
                             else cfg.consistency_mode == "surrogate"),
+        # ablation overrides (None/0 = preset defaults) — see docstring
+        "eta": None if eta is None else float(eta),
+        "eta_b": None if eta_b is None else float(eta_b),
+        "init_t_override": int(init_t_override),
+        "phase_threshold": (None if phase_threshold is None
+                            else int(phase_threshold)),
         "lpips_kind": lpips_fn.name,
         "results": results,
     }

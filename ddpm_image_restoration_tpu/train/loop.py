@@ -209,6 +209,13 @@ def train_model(
         losses = []
         for batch in loader.epoch(epoch):
             rng, sub = jax.random.split(rng)
+            if epoch == start_epoch and not losses and verbose:
+                # First dispatch pays the train-step compile — minutes at
+                # full width on a tunneled TPU. Stamp it so a queue watchdog
+                # can tell "compiling" from "wedged" (round-2 postmortem:
+                # the unified teacher produced zero output for 45+ min).
+                print(f"[{time.strftime('%H:%M:%S')}] compiling train step "
+                      f"(first dispatch)...", flush=True)
             state, metrics = train_step(state, put_batch(batch, mesh), sub)
             losses.append(metrics["loss"])
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
@@ -216,6 +223,9 @@ def train_model(
         # Validate (and thus pick the best checkpoint) with the EMA params
         # when enabled — the weights that eval/serving will load.
         eval_params = state.params if state.ema_params is None else state.ema_params
+        if epoch == start_epoch and verbose:
+            print(f"[{time.strftime('%H:%M:%S')}] train step ready; compiling "
+                  f"validation sampler(s)...", flush=True)
         val = validate_by_restoration(model, eval_params, cfg, val_images, sampler)
         epoch_time = time.time() - t_start
         logger.log(epoch, loss=train_loss, epoch_time=epoch_time, **val)

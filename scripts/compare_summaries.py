@@ -37,9 +37,11 @@ def main() -> int:
     print(f"| Q | {la} PSNR | {lb} PSNR | ΔPSNR (dB) | {la} SSIM | {lb} SSIM | ΔSSIM |")
     print("|---|---|---|---|---|---|---|")
     worst = 0.0
+    compared = 0
     for q in sorted(a["results"], key=int):
         if q not in b["results"]:
             continue
+        compared += 1
         ra, rb = a["results"][q], b["results"][q]
         dp = rb["restored_psnr"] - ra["restored_psnr"]
         ds = rb["restored_ssim"] - ra["restored_ssim"]
@@ -47,7 +49,13 @@ def main() -> int:
         print(f"| {q} | {ra['restored_psnr']:.2f} | {rb['restored_psnr']:.2f} "
               f"| {dp:+.3f} | {ra['restored_ssim']:.4f} | {rb['restored_ssim']:.4f} "
               f"| {ds:+.4f} |")
-    print(f"\nworst |ΔPSNR| = {worst:.3f} dB "
+    if compared == 0:
+        # No shared quality keys (e.g. different --qualities grids): a
+        # "worst = 0.0" pass here would be vacuous — fail loudly instead.
+        print("\nERROR: the two summaries share no quality keys; nothing "
+              "was compared", file=sys.stderr)
+        return 2
+    print(f"\nworst |ΔPSNR| = {worst:.3f} dB over {compared} qualities "
           f"({'within' if worst <= args.bar else 'EXCEEDS'} the {args.bar} dB bar)")
     return 0 if (args.bar == 0 or worst <= args.bar) else 1
 

@@ -453,3 +453,40 @@ def test_per_sample_quality_vector(y32):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(blended[1]), np.asarray(y32[1]),
                                atol=1e-6)
+
+
+def test_build_run_remat_matches_plain():
+    """remat=True must change memory behaviour only — same values, same
+    gradients (the distillation path differentiates through build_run;
+    round-2 full-width distill OOM'd without remat, diffusion/ddrm.py)."""
+    import jax
+    import jax.numpy as jnp
+    from ddpm_image_restoration_tpu.config import get_preset
+    from ddpm_image_restoration_tpu.diffusion.ddrm import DDRMSampler
+    from ddpm_image_restoration_tpu.models import build_model
+    from tests._tiny import MINI
+
+    model = build_model("webp", MINI)
+    x = jnp.zeros((2, MINI.image_size, MINI.image_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros(2))
+    preset = get_preset("webp")
+    sampler = DDRMSampler(model, preset, consistency_mode="surrogate")
+    y = jax.random.uniform(jax.random.PRNGKey(1), x.shape, minval=-1, maxval=1)
+    key = jax.random.PRNGKey(2)
+    eta, eta_b = jnp.float32(preset.eta), jnp.float32(preset.eta_b)
+
+    for enc_reuse in (1, 2):
+        plain = sampler.build_run(6, 2, encoder_reuse=enc_reuse)
+        remat = sampler.build_run(6, 2, encoder_reuse=enc_reuse, remat=True)
+
+        def loss(run, p):
+            return jnp.mean(run(p, y, 30, key, eta, eta_b) ** 2)
+
+        from jax.flatten_util import ravel_pytree
+
+        v0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+        v1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+        assert jnp.allclose(v0, v1, rtol=1e-5), (enc_reuse, v0, v1)
+        flat0 = ravel_pytree(g0)[0]
+        flat1 = ravel_pytree(g1)[0]
+        assert jnp.allclose(flat0, flat1, rtol=1e-4, atol=1e-6), enc_reuse
