@@ -55,6 +55,11 @@ def main(argv=None):
                          "decoder stages across each reuse group, "
                          "recomputing only the last N high-resolution "
                          "stages + head (DeepCache-style)")
+    ap.add_argument("--solver", default="manual", choices=["manual", "auto"],
+                    help="'auto' = the per-quality production policy "
+                         "(diffusion/policy.py): budgeted evals with "
+                         "encoder reuse below q70 — overrides --stride/"
+                         "--max-evals/--encoder-reuse per quality")
     ap.add_argument("--ensemble", type=int, default=1, choices=[1, 2, 4, 8],
                     help="dihedral test-time self-ensemble: average the "
                          "restorations of N flip/rotation variants")
@@ -158,7 +163,8 @@ def main(argv=None):
                          protect=tuple(args.protect) if args.protect else None,
                          eta=args.eta, eta_b=args.eta_b,
                          init_t_override=args.init_t,
-                         phase_threshold=args.phase_threshold)
+                         phase_threshold=args.phase_threshold,
+                         solver=args.solver)
 
 
 if __name__ == "__main__":

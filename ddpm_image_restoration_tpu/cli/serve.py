@@ -63,6 +63,11 @@ def main(argv=None):
                     help="cap model evaluations per restore (stride derived "
                          "from init_t; for ddpm-ir-distill checkpoints). "
                          "Overrides --stride.")
+    ap.add_argument("--solver", default="manual", choices=["manual", "auto"],
+                    help="'auto' = the per-quality production policy "
+                         "(diffusion/policy.py): budgeted evals, encoder "
+                         "reuse below q70 — overrides --stride/--max-evals/"
+                         "--encoder-reuse per batch from its quality bucket")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel serving over N devices (-1 = all): "
                          "params replicated, each batch sharded over the "
@@ -184,12 +189,23 @@ def main(argv=None):
                   flush=True)
         return qualities, bucket, init_timestep_for_quality(bucket, args.steps, preset)
 
-    def stride_for(init_t: int) -> int:
+    def solver_for(init_t: int, bucket_quality: float) -> tuple:
+        """(stride, encoder_reuse) for this batch. '--solver auto' consults
+        the production policy at the batch's quality bucket; otherwise the
+        explicit flags (--max-evals deriving the stride when set)."""
+        if args.solver == "auto":
+            from ddpm_image_restoration_tpu.diffusion.policy import (
+                production_solver_config,
+            )
+            from ddpm_image_restoration_tpu.train.distill import student_stride
+
+            pc = production_solver_config(bucket_quality)
+            return student_stride(init_t, pc["max_evals"]), pc["encoder_reuse"]
         if args.max_evals:
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
-            return student_stride(init_t, args.max_evals)
-        return args.stride
+            return student_stride(init_t, args.max_evals), args.encoder_reuse
+        return args.stride, args.encoder_reuse
 
     params = {"params": serve_params}
 
@@ -274,16 +290,17 @@ def main(argv=None):
                 continue
             sampler = get_sampler(batch_codec)
             key, sub = jax.random.split(key)
-            qualities, _, it = quality_for(
+            qualities, bucket, it = quality_for(
                 [os.path.join(args.watch, f) for f in batch_files], sampler.preset
             )
+            b_stride, b_enc = solver_for(it, bucket)
 
             def restore_fixed(batch: np.ndarray, q: float) -> np.ndarray:
                 return np.asarray(
                     sampler.sample(params, jnp.asarray(batch), q,
-                                   it, key=sub, stride=stride_for(it),
+                                   it, key=sub, stride=b_stride,
                                    protect=tuple(args.protect) if args.protect else None,
-                                   encoder_reuse=args.encoder_reuse,
+                                   encoder_reuse=b_enc,
                                    decoder_reuse_depth=args.decoder_reuse_depth)
                 )
 
@@ -328,10 +345,11 @@ def main(argv=None):
             q = jnp.asarray(
                 qualities + [float(bucket)] * (args.batch_size - n), jnp.float32
             )
+        b_stride, b_enc = solver_for(it, bucket)
         out = sampler.sample(params, place(imgs), q, it,
-                             key=sub, stride=stride_for(it),
+                             key=sub, stride=b_stride,
                              protect=tuple(args.protect) if args.protect else None,
-                             encoder_reuse=args.encoder_reuse,
+                             encoder_reuse=b_enc,
                              decoder_reuse_depth=args.decoder_reuse_depth)
         return batch_files, n, out
 

@@ -77,6 +77,7 @@ def evaluate_restoration(
     eta_b=None,
     init_t_override: int = 0,
     phase_threshold=None,
+    solver: str = "manual",
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -90,6 +91,11 @@ def evaluate_restoration(
     gate (avif.py:518-520). Used by the controlled AVIF q1/q90 regression
     experiments (results/r3_ablation) — each override is recorded in the
     summary so no two runs can be confused.
+
+    `solver='auto'` evaluates each quality with the production policy
+    (diffusion/policy.py production_solver_config) instead of the fixed
+    stride/encoder_reuse/max_evals arguments — the config a `--quality auto`
+    serving deployment would actually run.
     """
     preset = cfg.preset
     if phase_threshold is not None:
@@ -136,10 +142,19 @@ def evaluate_restoration(
         init_t = init_t_override or init_timestep_for_quality(
             quality, cfg.steps, preset
         )
-        if max_evals:  # distilled-student budget: stride derived per quality
+        q_max_evals, q_enc_reuse = max_evals, encoder_reuse
+        if solver == "auto":
+            from ddpm_image_restoration_tpu.diffusion.policy import (
+                production_solver_config,
+            )
+
+            pc = production_solver_config(quality)
+            q_max_evals = pc["max_evals"]
+            q_enc_reuse = pc["encoder_reuse"]
+        if q_max_evals:  # budgeted solver: stride derived per quality
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
-            stride = student_stride(init_t, max_evals)
+            stride = student_stride(init_t, q_max_evals)
         comp_all, rest_all = [], []
         t_start = time.time()
         n_restored = 0
@@ -152,7 +167,7 @@ def evaluate_restoration(
                 sample_ensemble(sampler, wrapped, jnp.asarray(y), quality, init_t,
                                 n_transforms=ensemble, key=sub,
                                 stride=stride, protect=protect,
-                                encoder_reuse=encoder_reuse,
+                                encoder_reuse=q_enc_reuse,
                                 decoder_reuse_depth=decoder_reuse_depth,
                                 final_exact=final_exact,
                                 eta=eta, eta_b=eta_b)
@@ -189,6 +204,10 @@ def evaluate_restoration(
             )
             row["fid_kind"] = extractor.name
         row["images_per_sec"] = n_restored / (time.time() - t_start)
+        # per-quality solver config (varies under solver='auto' / max_evals)
+        row["solver_stride"] = int(stride)
+        row["solver_encoder_reuse"] = int(q_enc_reuse)
+        row["solver_init_t"] = int(init_t)
         results[str(quality)] = row
         if verbose:
             print(
@@ -206,6 +225,7 @@ def evaluate_restoration(
         "stride": cfg_stride,
         "max_evals": int(max_evals),
         "encoder_reuse": int(encoder_reuse),
+        "solver": solver,
         "consistency_mode": cfg.consistency_mode,
         "final_exact": bool(final_exact if final_exact is not None
                             else cfg.consistency_mode == "surrogate"),

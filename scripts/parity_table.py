@@ -63,11 +63,13 @@ def fmt_delta(v, digits=2, plus=True):
 def table_for(codec: str, summary: dict, label: str) -> list[str]:
     ref = REFERENCE.get(codec, {})
     solver = ""
-    if summary.get("max_evals"):
+    if summary.get("solver") == "auto":
+        solver = ", solver=auto (per-quality production policy)"
+    elif summary.get("max_evals"):
         solver = f", max-evals {summary['max_evals']}"
     elif summary.get("stride") is not None:
         solver = f", stride {summary['stride']}"
-    if summary.get("encoder_reuse", 1) > 1:
+    if summary.get("solver") != "auto" and summary.get("encoder_reuse", 1) > 1:
         solver += f", enc-reuse {summary['encoder_reuse']}"
     lines = [
         f"### {codec.upper()} — {label} "

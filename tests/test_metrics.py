@@ -182,3 +182,53 @@ def test_import_metric_weights_probe(capsys):
     assert imw.main([]) == 0
     out = capsys.readouterr().out
     assert "LPIPS npz" in out and "InceptionV3" in out
+
+
+def test_lpips_canonical_import_path(tmp_path, monkeypatch):
+    """End-to-end canonical-LPIPS plumbing WITHOUT the real pretrained
+    weights (unobtainable here: zero egress and no torchvision): synthesize
+    a torchvision-layout AlexNet state_dict + lpips linear weights, convert
+    with scripts/import_metric_weights.convert_lpips, and check LPIPS picks
+    the npz up via $DDPM_IR_LPIPS_WEIGHTS and reports name='lpips_alex'.
+    Only the WEIGHTS are fake — every line of the canonical code path runs."""
+    import sys
+
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, "scripts")
+    try:
+        from import_metric_weights import _ALEX_CONV_KEYS, convert_lpips
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(0)
+    # torchvision AlexNet .features conv shapes (OIHW)
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    sd = {}
+    for k, s in zip(_ALEX_CONV_KEYS, shapes):
+        sd[f"{k}.weight"] = torch.tensor(
+            rng.normal(0, 0.05, s).astype(np.float32))
+        sd[f"{k}.bias"] = torch.zeros(s[0])
+    lin = {f"lin{i}.model.1.weight":
+           torch.tensor(np.abs(rng.normal(0, 1, (1, s[0], 1, 1))
+                               ).astype(np.float32))
+           for i, s in enumerate(shapes)}
+    alex_pth, lin_pth = tmp_path / "alex.pth", tmp_path / "lin.pth"
+    torch.save(sd, alex_pth)
+    torch.save(lin, lin_pth)
+
+    out = convert_lpips(str(alex_pth), str(lin_pth),
+                        out=str(tmp_path / "lpips_alex.npz"))
+
+    from ddpm_image_restoration_tpu.evaluation.lpips import LPIPS
+
+    monkeypatch.setenv("DDPM_IR_LPIPS_WEIGHTS", out)
+    fn = LPIPS()
+    assert fn.name == "lpips_alex"
+    a = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    d_same = np.asarray(fn(a, a))
+    d_diff = np.asarray(fn(a, np.clip(a + 0.5, -1, 1)))
+    assert np.all(d_same < 1e-5)
+    assert np.all(d_diff > d_same + 1e-4)

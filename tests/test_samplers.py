@@ -490,3 +490,37 @@ def test_build_run_remat_matches_plain():
         flat0 = ravel_pytree(g0)[0]
         flat1 = ravel_pytree(g1)[0]
         assert jnp.allclose(flat0, flat1, rtol=1e-4, atol=1e-6), enc_reuse
+
+
+def test_production_solver_policy():
+    """The production policy must (a) keep the validated 14-eval budget at
+    every quality, (b) drop encoder reuse at near-lossless qualities (the
+    round-2 regression source: stride 5 + enc-reuse 2 went NEGATIVE at q90),
+    and (c) degrade to the reference stride-1 solver where init_t is small."""
+    from ddpm_image_restoration_tpu.codecs.quality import (
+        init_timestep_for_quality,
+    )
+    from ddpm_image_restoration_tpu.config import get_preset
+    from ddpm_image_restoration_tpu.diffusion.ddrm import _solver_indices
+    from ddpm_image_restoration_tpu.diffusion.policy import (
+        production_solver_config,
+    )
+    from ddpm_image_restoration_tpu.train.distill import student_stride
+
+    preset = get_preset("webp")
+    for q in (0, 10, 30, 50, 70, 90):
+        pc = production_solver_config(q)
+        init_t = init_timestep_for_quality(q, 100, preset)
+        stride = student_stride(init_t, pc["max_evals"])
+        n_evals = len(_solver_indices(init_t, stride))
+        assert n_evals <= pc["max_evals"], (q, n_evals)
+        if q >= 70:
+            assert pc["encoder_reuse"] == 1, q
+        else:
+            assert pc["encoder_reuse"] == 2, q
+    # near-lossless: the policy IS the reference solver (stride 1)
+    assert student_stride(
+        init_timestep_for_quality(90, 100, preset),
+        production_solver_config(90)["max_evals"],
+    ) == 2  # init_t 20 -> 10 evals at stride 2 (within the 14 budget)
+    assert student_stride(14, production_solver_config(95)["max_evals"]) == 1
