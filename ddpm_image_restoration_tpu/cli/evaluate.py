@@ -17,6 +17,11 @@ def main(argv=None):
     add_model_flags(ap)
     ap.add_argument("--data-dir", default="./ILSVRC2012_img_val")
     ap.add_argument("--checkpoint-dir", default="./checkpoints")
+    ap.add_argument("--params-npz", default=None,
+                    help="load inference weights from a release npz "
+                         "(scripts/export_release_ckpt.py) instead of an "
+                         "Orbax checkpoint — no training stack needed; "
+                         "--use-ema is implied by what was exported")
     ap.add_argument("--output-dir", default="./eval_results")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--max-images", type=int, default=0, help="0 = all (AVIF ref caps at 500)")
@@ -112,20 +117,29 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, qualities_override=tuple(args.qualities))
 
     model = build_model(model_codec, cfg.model)
-    tc = TrainConfig(codec=model_codec, model=cfg.model, checkpoint_dir=args.checkpoint_dir,
-                     ema_decay=1.0 if args.use_ema else 0.0)
-    state = create_train_state(model, tc, jax.random.PRNGKey(0))
-    if not args.random_init:
-        mgr = CheckpointManager(args.checkpoint_dir)
-        restored = mgr.restore_best(state) or mgr.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
-        state, meta = restored
-        print(f"loaded checkpoint: {meta}")
-    eval_params = state.ema_params if args.use_ema else state.params
-    if eval_params is None:
-        raise SystemExit("--use-ema: checkpoint has no EMA params "
-                         "(train with --ema-decay > 0)")
+    if args.params_npz:
+        from ddpm_image_restoration_tpu.train.checkpoint import (
+            load_release_params,
+        )
+
+        eval_params = load_release_params(args.params_npz)
+        print(f"loaded release params: {args.params_npz}")
+    else:
+        tc = TrainConfig(codec=model_codec, model=cfg.model,
+                         checkpoint_dir=args.checkpoint_dir,
+                         ema_decay=1.0 if args.use_ema else 0.0)
+        state = create_train_state(model, tc, jax.random.PRNGKey(0))
+        if not args.random_init:
+            mgr = CheckpointManager(args.checkpoint_dir)
+            restored = mgr.restore_best(state) or mgr.restore_latest(state)
+            if restored is None:
+                raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+            state, meta = restored
+            print(f"loaded checkpoint: {meta}")
+        eval_params = state.ema_params if args.use_ema else state.params
+        if eval_params is None:
+            raise SystemExit("--use-ema: checkpoint has no EMA params "
+                             "(train with --ema-decay > 0)")
 
     parts = []
     if args.synthetic:

@@ -37,6 +37,10 @@ def main(argv=None):
     add_model_flags(ap)
     ap.add_argument("inputs", nargs="+", help="image files (treated as already compressed)")
     ap.add_argument("--checkpoint-dir", default="./checkpoints")
+    ap.add_argument("--params-npz", default=None,
+                    help="load inference weights from a release npz "
+                         "(scripts/export_release_ckpt.py) instead of an "
+                         "Orbax checkpoint")
     ap.add_argument("--output-dir", default="./restored")
     ap.add_argument("--quality", default="30",
                     help="quality the inputs were compressed at, or 'auto' "
@@ -116,20 +120,29 @@ def main(argv=None):
 
     mcfg = model_config_from(args)
     model = build_model(model_codec, mcfg)
-    cfg = TrainConfig(codec=model_codec, model=mcfg, checkpoint_dir=args.checkpoint_dir,
-                      ema_decay=1.0 if args.use_ema else 0.0)
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
-    if not args.random_init:
-        mgr = CheckpointManager(args.checkpoint_dir)
-        restored = mgr.restore_best(state) or mgr.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
-        state, meta = restored
-        print(f"loaded checkpoint: {meta}")
-    params = state.ema_params if args.use_ema else state.params
-    if params is None:
-        raise SystemExit("--use-ema: checkpoint has no EMA params "
-                         "(train with --ema-decay > 0)")
+    if args.params_npz:
+        from ddpm_image_restoration_tpu.train.checkpoint import (
+            load_release_params,
+        )
+
+        params = load_release_params(args.params_npz)
+        print(f"loaded release params: {args.params_npz}")
+    else:
+        cfg = TrainConfig(codec=model_codec, model=mcfg,
+                          checkpoint_dir=args.checkpoint_dir,
+                          ema_decay=1.0 if args.use_ema else 0.0)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        if not args.random_init:
+            mgr = CheckpointManager(args.checkpoint_dir)
+            restored = mgr.restore_best(state) or mgr.restore_latest(state)
+            if restored is None:
+                raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+            state, meta = restored
+            print(f"loaded checkpoint: {meta}")
+        params = state.ema_params if args.use_ema else state.params
+        if params is None:
+            raise SystemExit("--use-ema: checkpoint has no EMA params "
+                             "(train with --ema-decay > 0)")
 
     if args.dp and args.sp:
         raise SystemExit("--dp and --sp are mutually exclusive (a combined "

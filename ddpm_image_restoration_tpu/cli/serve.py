@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--processed-dir", default=None,
                     help="move processed inputs here (default <watch>/done)")
     ap.add_argument("--checkpoint-dir", default="./checkpoints")
+    ap.add_argument("--params-npz", default=None,
+                    help="serve from a release npz (scripts/"
+                         "export_release_ckpt.py) instead of an Orbax "
+                         "checkpoint — no training stack needed")
     ap.add_argument("--quality", default="30",
                     help="quality the inputs were compressed at, or 'auto': "
                          "estimate per file from the bitstream "
@@ -117,23 +121,31 @@ def main(argv=None):
 
     mcfg = model_config_from(args)
     model = build_model(model_codec, mcfg)
-    state = create_train_state(
-        model,
-        TrainConfig(codec=model_codec, model=mcfg,
-                    ema_decay=1.0 if args.use_ema else 0.0),
-        jax.random.PRNGKey(0),
-    )
-    if not args.random_init:
-        mgr = CheckpointManager(args.checkpoint_dir)
-        restored = mgr.restore_best(state) or mgr.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
-        state, meta = restored
-        print(f"serving with checkpoint: {meta}", flush=True)
-    serve_params = state.ema_params if args.use_ema else state.params
-    if serve_params is None:
-        raise SystemExit("--use-ema: checkpoint has no EMA params "
-                         "(train with --ema-decay > 0)")
+    if args.params_npz:
+        from ddpm_image_restoration_tpu.train.checkpoint import (
+            load_release_params,
+        )
+
+        serve_params = load_release_params(args.params_npz)
+        print(f"serving with release params: {args.params_npz}", flush=True)
+    else:
+        state = create_train_state(
+            model,
+            TrainConfig(codec=model_codec, model=mcfg,
+                        ema_decay=1.0 if args.use_ema else 0.0),
+            jax.random.PRNGKey(0),
+        )
+        if not args.random_init:
+            mgr = CheckpointManager(args.checkpoint_dir)
+            restored = mgr.restore_best(state) or mgr.restore_latest(state)
+            if restored is None:
+                raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+            state, meta = restored
+            print(f"serving with checkpoint: {meta}", flush=True)
+        serve_params = state.ema_params if args.use_ema else state.params
+        if serve_params is None:
+            raise SystemExit("--use-ema: checkpoint has no EMA params "
+                             "(train with --ema-decay > 0)")
 
     _samplers = {}
 

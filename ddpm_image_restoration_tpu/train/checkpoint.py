@@ -163,3 +163,36 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def export_release_params(params, out: str, codec: str = "webp",
+                          meta: Optional[Dict[str, Any]] = None) -> str:
+    """Write an inference-only release artifact: the params pytree as one
+    fp16 npz (~230 MB at reference width vs several GB of full train state).
+    fp16 stores the bf16 compute values losslessly (trained-weight exponents
+    fit fp16's range; 10 mantissa bits > bf16's 8), so bf16-compute
+    restoration output is unchanged. Reference counterpart:
+    torch.save(model_state_dict) (webp_training.py:796-804)."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params, sep="/")
+    arrays = {k: np.asarray(v, np.float16) for k, v in flat.items()}
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    np.savez_compressed(out, __codec__=np.str_(codec),
+                        __meta__=np.str_(str(meta or {})), **arrays)
+    return out
+
+
+def load_release_params(npz_path: str):
+    """Inverse of `export_release_params`: npz -> flax params pytree (f32),
+    for the --params-npz deployment path (no Orbax / optimizer state)."""
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    data = np.load(npz_path)
+    flat = {
+        tuple(k.split("/")): np.asarray(data[k], np.float32)
+        for k in data.files if not k.startswith("__")
+    }
+    return unflatten_dict(flat)

@@ -309,3 +309,36 @@ def test_unified_train_step_and_validation(tmp_path, rng):
         model, state.params, cfg, val_images, sampler=samplers
     )
     assert np.isfinite(out["val_psnr"]) and np.isfinite(out["val_ssim"])
+
+
+def test_release_params_roundtrip(tmp_path):
+    """export_release_params -> load_release_params must reproduce the
+    params pytree (same structure, values within fp16 rounding) so
+    --params-npz serving/eval is equivalent to the Orbax checkpoint."""
+    import jax
+    import numpy as np
+
+    from ddpm_image_restoration_tpu.models import build_model
+    from ddpm_image_restoration_tpu.train.checkpoint import (
+        export_release_params,
+        load_release_params,
+    )
+    from tests._tiny import MINI
+
+    model = build_model("webp", MINI)
+    import jax.numpy as jnp
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 3)), jnp.zeros(1))["params"]
+    out = export_release_params(params, str(tmp_path / "rel.npz"),
+                                codec="webp", meta={"epoch": 3})
+    loaded = load_release_params(out)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda kv: str(kv[0])),
+                                  sorted(flat_b, key=lambda kv: str(kv[0]))):
+        assert str(pa) == str(pb)
+        assert vb.dtype == np.float32
+        np.testing.assert_allclose(np.asarray(va, np.float32), vb,
+                                   rtol=1e-3, atol=1e-4)
