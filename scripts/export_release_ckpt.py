@@ -29,6 +29,12 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--codec", default="webp")
     ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--attn-max-res", type=int, default=32,
+                    help="must match the TRAINING setting: attention "
+                         "submodules (and their params) only exist at "
+                         "levels <= this (models/unet.py ResAttnBlock), so "
+                         "a mismatched template fails Orbax restore. All "
+                         "round-3 teachers train at 32.")
     ap.add_argument("--raw-params", action="store_true",
                     help="export the raw (non-EMA) params")
     args = ap.parse_args(argv)
@@ -46,7 +52,8 @@ def main(argv=None) -> int:
     from ddpm_image_restoration_tpu.train.steps import create_train_state
 
     use_ema = not args.raw_params
-    mcfg = ModelConfig(image_size=args.image_size)
+    mcfg = ModelConfig(image_size=args.image_size,
+                       attn_max_resolution=args.attn_max_res)
     model = build_model(args.codec, mcfg)
     tc = TrainConfig(codec=args.codec, model=mcfg,
                      checkpoint_dir=args.checkpoint_dir,
