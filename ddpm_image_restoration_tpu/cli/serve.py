@@ -202,9 +202,10 @@ def main(argv=None):
         return qualities, bucket, init_timestep_for_quality(bucket, args.steps, preset)
 
     def solver_for(init_t: int, bucket_quality: float) -> tuple:
-        """(stride, encoder_reuse) for this batch. '--solver auto' consults
-        the production policy at the batch's quality bucket; otherwise the
-        explicit flags (--max-evals deriving the stride when set)."""
+        """(stride, encoder_reuse, eta) for this batch. '--solver auto'
+        consults the production policy at the batch's quality bucket;
+        otherwise the explicit flags (--max-evals deriving the stride when
+        set). eta None = the codec preset's reference value (0.85/0.15)."""
         if args.solver == "auto":
             from ddpm_image_restoration_tpu.diffusion.policy import (
                 production_solver_config,
@@ -212,12 +213,13 @@ def main(argv=None):
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
             pc = production_solver_config(bucket_quality)
-            return student_stride(init_t, pc["max_evals"]), pc["encoder_reuse"]
+            return (student_stride(init_t, pc["max_evals"]),
+                    pc["encoder_reuse"], pc.get("eta"))
         if args.max_evals:
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
-            return student_stride(init_t, args.max_evals), args.encoder_reuse
-        return args.stride, args.encoder_reuse
+            return student_stride(init_t, args.max_evals), args.encoder_reuse, None
+        return args.stride, args.encoder_reuse, None
 
     params = {"params": serve_params}
 
@@ -305,14 +307,14 @@ def main(argv=None):
             qualities, bucket, it = quality_for(
                 [os.path.join(args.watch, f) for f in batch_files], sampler.preset
             )
-            b_stride, b_enc = solver_for(it, bucket)
+            b_stride, b_enc, b_eta = solver_for(it, bucket)
 
             def restore_fixed(batch: np.ndarray, q: float) -> np.ndarray:
                 return np.asarray(
                     sampler.sample(params, jnp.asarray(batch), q,
                                    it, key=sub, stride=b_stride,
                                    protect=tuple(args.protect) if args.protect else None,
-                                   encoder_reuse=b_enc,
+                                   encoder_reuse=b_enc, eta=b_eta,
                                    decoder_reuse_depth=args.decoder_reuse_depth)
                 )
 
@@ -357,11 +359,11 @@ def main(argv=None):
             q = jnp.asarray(
                 qualities + [float(bucket)] * (args.batch_size - n), jnp.float32
             )
-        b_stride, b_enc = solver_for(it, bucket)
+        b_stride, b_enc, b_eta = solver_for(it, bucket)
         out = sampler.sample(params, place(imgs), q, it,
                              key=sub, stride=b_stride,
                              protect=tuple(args.protect) if args.protect else None,
-                             encoder_reuse=b_enc,
+                             encoder_reuse=b_enc, eta=b_eta,
                              decoder_reuse_depth=args.decoder_reuse_depth)
         return batch_files, n, out
 

@@ -2,29 +2,43 @@
 
 Round-2 postmortem (VERDICT round 2, "what's weak" #1): a single fixed
 production config (stride 5 + encoder-reuse 2) keeps >=90% of the stride-1
-restoration gain at q<=30 but collapses at high quality — at q>=50 the
-degradation is mild (init_t 50 -> only 10 coarse steps) and at q90 it turns
-NEGATIVE (init_t 20 -> 4 steps, each injecting eta*0.2*t noise into an input
-that is already near-lossless). The bench number and the quality tables were
-describing two different systems.
+restoration gain at q<=30 but collapses at high quality — the bench number
+and the quality tables were describing two different systems.
 
-The fix is a QUALITY-ADAPTIVE budget, not a bigger fixed one: hold the model
--evaluation budget roughly constant where degradation is heavy (the stride-5
-compute point, quality-validated at q<=30 in results/r1_webp_attn32 and
-results/r2_parity), and spend finer steps exactly where the fixed stride was
-too coarse. Since init_t already shrinks as quality rises
-(init_t = clamp((100-q)/100*steps, ...), webp_training.py:561-562), capping
-evaluations at 14 makes the derived stride fall from 6 (q0, init_t 80) to 1
-(q>=80, init_t <= 20) automatically — at the high-quality end the policy
-simply IS the reference solver, whose per-image cost there is small anyway.
+Round 3 ran the controlled experiment that separates the three candidate
+causes, on the full-width 100-epoch WebP teacher, held-out synthetic eval,
+q in {30,50,70,90} (results/r3/ex_*, queue scripts/onchip_queue_r3v3.sh):
 
-The reference has no such layer (its solver always runs every step,
-webp_training.py:437); this module is the single source of truth for the
-production solver used by evaluate --solver auto and serve.
+  config                 dPSNR q30 / q50 / q70 / q90   (stride-1 ref mode:
+  me14 enc2 (round-2)     +0.69 / +0.61 / +0.53 / -0.15  +1.11/+1.34/+1.34/+0.27)
+  E1: me14 enc1           +0.83 / +1.06 / +0.86 / +0.07
+  E2: me28 enc2           +0.70 / +0.95 / +0.62 / -0.12
+  E3: me14 enc2 eta=0     +1.95 / +2.05 / +1.44 / +0.88
 
-Validated in results/r3: <codec>_me14 vs <codec>_ref hold the stride-1 gain
-across the published quality grids (see results/r3/PARITY_TABLE.md), at the
-same bench throughput as the old fixed config at q30 (bench_me14).
+Findings, in causal order:
+  1. THE NOISE INJECTION IS THE BUG. The reference solver re-injects
+     eta*N(0,(0.2*t)^2) every step (webp_training.py:457-463) — a stochastic
+     -sampler idiom inherited from DDIM. In a measurement-consistent solver
+     whose per-step projection (x' = xhat - codec(xhat) + y) can never remove
+     more than it models, injected noise is pure signal damage; with few
+     steps it is never cleaned up. eta=0 at the SAME compute (E3) does not
+     just recover the stride-1 gain — it beats reference mode at every
+     quality, on every metric (PSNR, SSIM, LPIPS proxy, L2; SSIM deltas flip
+     from slightly negative to strongly positive, fixing VERDICT weak #5).
+  2. Encoder reuse is the second-order cost (E1 vs me14: recovers about half
+     the deficit), and budget is the third (E2 < E1 everywhere) — with noise
+     ON. With eta=0 the enc2 cost point already dominates reference mode, so
+     the policy keeps the cheap encoder-reuse setting everywhere.
+  3. The reference keeps eta because stochastic samplers buy perceptual
+     variety at the cost of distortion; its own tables are distortion
+     metrics. Reference-parity mode (--solver manual, default eta 0.85)
+     reproduces its semantics exactly; the PRODUCT default is deterministic.
+
+The reference has no policy layer (its solver always runs every step with
+eta=0.85, webp_training.py:437); this module is the single source of truth
+for the production solver used by `evaluate --solver auto` and serve.
+Validated full-grid, full-width: results/r3/webp_auto (synthetic) and
+results/r3/all_* (unified model, all three codecs) vs results/r3/*_ref.
 """
 
 from __future__ import annotations
@@ -32,22 +46,34 @@ from __future__ import annotations
 from typing import Dict
 
 # Model-evaluation budget per restore. 14 = the stride-5 compute point at
-# q30 (init_t 70 / 5), the config whose throughput set the 216 img/s bench
-# row — the policy keeps that cost where it was validated and only ever
-# spends LESS at higher qualities.
+# q30 (init_t 70 / 5), the config whose throughput set the 216 img/s round-2
+# bench row. init_t already shrinks as quality rises, so the derived stride
+# falls from ~6 (q0) to ~1.4 (q90) automatically at a fixed budget.
 PRODUCTION_MAX_EVALS = 14
 
-# Encoder-propagation reuse (arXiv:2312.09608) while degradation is heavy;
-# off near-lossless where the few remaining steps each have to count and
-# the halved encoder cost no longer buys a meaningful speedup.
-ENCODER_REUSE_BELOW_QUALITY = 70
+# Encoder-propagation reuse (arXiv:2312.09608). With the deterministic
+# solver this halves encoder FLOPs at no measured quality cost (E3 beats
+# stride-1/enc1 reference mode at every quality WITH enc2 on).
+PRODUCTION_ENCODER_REUSE = 2
+
+# Deterministic solver: no per-step noise re-injection (see module
+# docstring, finding 1). None would mean "preset default" (0.85).
+PRODUCTION_ETA = 0.0
 
 
-def production_solver_config(quality) -> Dict[str, int]:
+def production_solver_config(quality) -> Dict[str, float]:
     """Solver kwargs for a production restore at `quality` (scalar; serving
-    buckets per-file estimates first, cli/serve.py quality_for)."""
-    q = float(quality)
+    buckets per-file estimates first, cli/serve.py quality_for).
+
+    Quality-independent since the round-3 retune: the budgeted stride is
+    already quality-adaptive through init_t, and the deterministic solver
+    removed the one regime (few steps, high q) where the fixed budget lost
+    quality. The signature keeps `quality` so serving call sites stay
+    stable if a future retune goes per-quality again.
+    """
+    del quality
     return {
         "max_evals": PRODUCTION_MAX_EVALS,
-        "encoder_reuse": 2 if q < ENCODER_REUSE_BELOW_QUALITY else 1,
+        "encoder_reuse": PRODUCTION_ENCODER_REUSE,
+        "eta": PRODUCTION_ETA,
     }

@@ -142,7 +142,7 @@ def evaluate_restoration(
         init_t = init_t_override or init_timestep_for_quality(
             quality, cfg.steps, preset
         )
-        q_max_evals, q_enc_reuse = max_evals, encoder_reuse
+        q_max_evals, q_enc_reuse, q_eta = max_evals, encoder_reuse, eta
         if solver == "auto":
             from ddpm_image_restoration_tpu.diffusion.policy import (
                 production_solver_config,
@@ -151,6 +151,8 @@ def evaluate_restoration(
             pc = production_solver_config(quality)
             q_max_evals = pc["max_evals"]
             q_enc_reuse = pc["encoder_reuse"]
+            if eta is None:  # an explicit --eta still overrides the policy
+                q_eta = pc.get("eta")
         if q_max_evals:  # budgeted solver: stride derived per quality
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
@@ -170,7 +172,7 @@ def evaluate_restoration(
                                 encoder_reuse=q_enc_reuse,
                                 decoder_reuse_depth=decoder_reuse_depth,
                                 final_exact=final_exact,
-                                eta=eta, eta_b=eta_b)
+                                eta=q_eta, eta_b=eta_b)
             )
             n_restored += len(x0)
 
@@ -208,6 +210,7 @@ def evaluate_restoration(
         row["solver_stride"] = int(stride)
         row["solver_encoder_reuse"] = int(q_enc_reuse)
         row["solver_init_t"] = int(init_t)
+        row["solver_eta"] = None if q_eta is None else float(q_eta)
         results[str(quality)] = row
         if verbose:
             print(

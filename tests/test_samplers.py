@@ -493,10 +493,13 @@ def test_build_run_remat_matches_plain():
 
 
 def test_production_solver_policy():
-    """The production policy must (a) keep the validated 14-eval budget at
-    every quality, (b) drop encoder reuse at near-lossless qualities (the
-    round-2 regression source: stride 5 + enc-reuse 2 went NEGATIVE at q90),
-    and (c) degrade to the reference stride-1 solver where init_t is small."""
+    """The round-3 production policy must (a) keep the validated 14-eval
+    budget at every quality, (b) be DETERMINISTIC (eta 0 — the round-3
+    controlled experiment results/r3/ex_me14_eta0 showed the reference's
+    per-step noise injection is what loses quality in the few-step regime;
+    eta 0 at the same compute beats stride-1 reference mode at every
+    measured quality), and (c) keep encoder reuse 2 everywhere (validated
+    at the eta-0 operating point; diffusion/policy.py findings 1-2)."""
     from ddpm_image_restoration_tpu.codecs.quality import (
         init_timestep_for_quality,
     )
@@ -508,19 +511,18 @@ def test_production_solver_policy():
     from ddpm_image_restoration_tpu.train.distill import student_stride
 
     preset = get_preset("webp")
+    strides = {}
     for q in (0, 10, 30, 50, 70, 90):
         pc = production_solver_config(q)
         init_t = init_timestep_for_quality(q, 100, preset)
         stride = student_stride(init_t, pc["max_evals"])
+        strides[q] = stride
         n_evals = len(_solver_indices(init_t, stride))
         assert n_evals <= pc["max_evals"], (q, n_evals)
-        if q >= 70:
-            assert pc["encoder_reuse"] == 1, q
-        else:
-            assert pc["encoder_reuse"] == 2, q
-    # near-lossless: the policy IS the reference solver (stride 1)
-    assert student_stride(
-        init_timestep_for_quality(90, 100, preset),
-        production_solver_config(90)["max_evals"],
-    ) == 2  # init_t 20 -> 10 evals at stride 2 (within the 14 budget)
+        assert pc["encoder_reuse"] == 2, q
+        assert pc["eta"] == 0.0, q
+    # the budgeted stride is quality-adaptive through init_t: coarse where
+    # degradation is heavy, near-reference-exact where it is light
+    assert strides[0] > strides[90], strides
+    assert strides[90] == 2  # init_t 20 -> 10 evals (within the 14 budget)
     assert student_stride(14, production_solver_config(95)["max_evals"]) == 1
