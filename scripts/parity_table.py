@@ -21,29 +21,31 @@ from pathlib import Path
 # Reference published deltas (restored - compressed), ImageNet-val 64x64.
 # BASELINE.md / SURVEY.md section 6. JPEG's table publishes gains only (50 samples).
 REFERENCE = {
-    "webp": {  # q: (dPSNR, dSSIM, dLPIPS: positive = improvement in the ref tables)
-        0: (+0.16, +0.0064, +0.0108),
-        5: (+0.45, +0.0095, +0.0096),
-        10: (+0.53, +0.0103, +0.0087),
-        30: (+0.70, +0.0105, +0.0066),
-        50: (+0.79, +0.0097, +0.0051),
-        70: (+0.77, +0.0077, +0.0038),
-        90: (+0.43, +0.0020, +0.0007),
+    # q: (dPSNR, dSSIM, dLPIPS, dFID) — all "positive = improvement" as the
+    # reference's tables report them (FID = compressed minus restored FID).
+    "webp": {
+        0: (+0.16, +0.0064, +0.0108, +15.52),
+        5: (+0.45, +0.0095, +0.0096, +8.58),
+        10: (+0.53, +0.0103, +0.0087, +6.48),
+        30: (+0.70, +0.0105, +0.0066, +3.21),
+        50: (+0.79, +0.0097, +0.0051, +2.06),
+        70: (+0.77, +0.0077, +0.0038, +1.43),
+        90: (+0.43, +0.0020, +0.0007, -0.01),
     },
     "jpeg": {
-        10: (+0.44, +0.0215, +0.0049),
-        20: (+0.59, +0.0209, +0.0034),
-        30: (+0.66, +0.0182, +0.0005),
-        50: (+0.78, +0.0153, -0.0010),
+        10: (+0.44, +0.0215, +0.0049, +15.81),
+        20: (+0.59, +0.0209, +0.0034, +14.84),
+        30: (+0.66, +0.0182, +0.0005, +18.58),
+        50: (+0.78, +0.0153, -0.0010, +18.60),
     },
     "avif": {
-        1: (+0.05, +0.0048, +0.0157),
-        10: (+0.13, +0.0072, +0.0145),
-        20: (+0.25, +0.0090, +0.0114),
-        30: (+0.40, +0.0092, +0.0087),
-        50: (+0.57, +0.0071, +0.0035),
-        70: (+0.58, +0.0042, +0.0011),
-        90: (+0.43, +0.0023, +0.0004),
+        1: (+0.05, +0.0048, +0.0157, +10.39),
+        10: (+0.13, +0.0072, +0.0145, +13.36),
+        20: (+0.25, +0.0090, +0.0114, +8.77),
+        30: (+0.40, +0.0092, +0.0087, +4.65),
+        50: (+0.57, +0.0071, +0.0035, +1.74),
+        70: (+0.58, +0.0042, +0.0011, +0.69),
+        90: (+0.43, +0.0023, +0.0004, +0.20),
     },
 }
 
@@ -76,8 +78,8 @@ def table_for(codec: str, summary: dict, label: str) -> list[str]:
         f"({summary.get('num_images', '?')} images, steps={summary.get('steps')}"
         f"{solver}, consistency={summary.get('consistency_mode')})",
         "",
-        "| Q | ours PSNR comp→rest (Δ) | ref ΔPSNR | ours ΔSSIM | ref ΔSSIM | ours ΔLPIPS† | ref ΔLPIPS |",
-        "|---|---|---|---|---|---|---|",
+        "| Q | ours PSNR comp→rest (Δ) | ref ΔPSNR | ours ΔSSIM | ref ΔSSIM | ours ΔLPIPS† | ref ΔLPIPS | ours ΔFID‡ | ref ΔFID |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     results = summary["results"]
     for q_str, m in sorted(results.items(), key=lambda kv: int(kv[0])):
@@ -86,12 +88,17 @@ def table_for(codec: str, summary: dict, label: str) -> list[str]:
         dssim = m["restored_ssim"] - m["compressed_ssim"]
         # Reference tables report LPIPS *improvement* (compressed - restored).
         dlpips = m["compressed_lpips"] - m["restored_lpips"]
+        # Same convention for FID: positive = restored closer to originals.
+        dfid = None
+        if m.get("compressed_fid") is not None and m.get("restored_fid") is not None:
+            dfid = m["compressed_fid"] - m["restored_fid"]
         r = ref.get(q)
         lines.append(
             f"| {q} | {m['compressed_psnr']:.2f}→{m['restored_psnr']:.2f} "
             f"({fmt_delta(dpsnr)}) | {fmt_delta(r[0]) if r else '—'} "
             f"| {fmt_delta(dssim, 4)} | {fmt_delta(r[1], 4) if r else '—'} "
-            f"| {fmt_delta(dlpips, 4)} | {fmt_delta(r[2], 4) if r else '—'} |"
+            f"| {fmt_delta(dlpips, 4)} | {fmt_delta(r[2], 4) if r else '—'} "
+            f"| {fmt_delta(dfid)} | {fmt_delta(r[3]) if r else '—'} |"
         )
     lines.append("")
     return lines
@@ -104,7 +111,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     sections = [
-        "# Round-2 quality parity — ours vs the reference's published tables",
+        "# Quality parity — ours vs the reference's published tables",
         "",
         "Ours: full-width UNet (reference architecture scale), synthetic 64×64 training set,",
         "held-out synthetic eval (seed 99). Reference: ImageNet-val 64×64, 100 epochs",
@@ -114,6 +121,10 @@ def main(argv=None):
         "† LPIPS columns: the reference uses AlexNet LPIPS; ours is the calibrated proxy",
         "unless canonical weights are present (`scripts/import_metric_weights.py`), so",
         "compare signs/trends, not magnitudes.",
+        "‡ FID columns: positive = restoration moved the set closer to the originals.",
+        "Ours is Fréchet distance over the configured feature extractor (proxy features",
+        "unless InceptionV3 weights are imported; `fid_kind` in each summary says which)",
+        "— like LPIPS, compare signs/trends vs the reference, not magnitudes.",
         "",
     ]
     found = 0
