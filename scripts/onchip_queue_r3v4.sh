@@ -23,6 +23,8 @@ done
 while [ "$(ps ax -o args | grep -v grep | grep -c 'python -m ddpm_image_restoration_tpu\|python -u bench.py\|python -u scripts/bench')" -gt 0 ]; do
     sleep 20
 done
+# claim the PID file before installing the cleanup trap (a trap installed
+# during the wait would delete the previous queue's pid file on a kill).
 echo $$ > /tmp/queue_r3.pid
 trap 'rm -f /tmp/queue_r3.pid' EXIT
 
@@ -52,7 +54,19 @@ EVAL="python -m ddpm_image_restoration_tpu.cli.evaluate --synthetic 64 --synthet
 [ -f "$OUT/micro_ops.log" ] && grep -q "pallas" "$OUT/micro_ops.log" 2>/dev/null || \
 run micro_ops 12 1200 python -u scripts/bench_micro_ops.py || true
 
-# 2: quality-ceiling row — deterministic solver in the reference's own
+# 2: real photographs under the retuned deterministic policy. The queue-v1
+# webp_real run (old policy, eta 0.85) showed -2.0..-2.8 dB on real patches;
+# per-step noise injected into content the waves-trained model cannot
+# denoise is a candidate cause independent of the distribution gap — this
+# rerun separates the two.
+if has_ckpt artifacts/r3_webp; then
+    run webp_real_auto 12 1500 python -m ddpm_image_restoration_tpu.cli.evaluate \
+        --real 64 --attn-max-res 32 --use-ema --codec webp --solver auto \
+        --no-fid --checkpoint-dir artifacts/r3_webp \
+        --output-dir "$OUT/webp_real_auto" || true
+fi
+
+# 3: quality-ceiling row — deterministic solver in the reference's own
 # step-for-step regime (stride 1, enc 1, eta 0, full grid)
 if has_ckpt artifacts/r3_webp; then
     run webp_s1_eta0 16 1800 $EVAL --codec webp --stride 1 --encoder-reuse 1 \
