@@ -117,7 +117,17 @@ def make_distill_step(model, cfg: TrainConfig, dcfg: DistillConfig, quality: int
     # stop_gradient, so XLA keeps no backward buffers for it.
     student_run = sampler.build_run(init_t, s_stride, remat=True)
     loss_fn = loss_for_preset(preset.loss_kind)
-    eta = jnp.float32(preset.eta)
+    # Solver noise follows the PRODUCTION policy, not the reference preset:
+    # the student is the production fast path, and the round-3 experiment
+    # (results/r3/ex_me14_eta0, diffusion/policy.py finding 1) showed the
+    # deterministic solver dominates the reference's eta=0.85 on every
+    # metric — so the teacher's targets are both better and zero-variance.
+    from ddpm_image_restoration_tpu.diffusion.policy import (
+        production_solver_config,
+    )
+
+    policy_eta = production_solver_config(quality).get("eta")
+    eta = jnp.float32(preset.eta if policy_eta is None else policy_eta)
     eta_b = jnp.float32(preset.eta_b)
     gt_w = float(dcfg.gt_weight)
 
