@@ -116,6 +116,56 @@ def test_eval_harness_end_to_end(tmp_path):
     json.loads((tmp_path / "metrics_summary.json").read_text())
 
 
+@pytest.mark.slow
+def test_eval_harness_solver_auto_uses_policy(tmp_path):
+    """`solver='auto'` must apply the production policy per quality —
+    including the round-3 deterministic eta — and record the effective
+    solver config in the summary (the round-2 failure mode was a bench row
+    and quality tables describing two different solver configs)."""
+    import jax
+
+    from ddpm_image_restoration_tpu.config import EvalConfig
+    from ddpm_image_restoration_tpu.data import SyntheticImageDataset
+    from ddpm_image_restoration_tpu.diffusion.policy import (
+        production_solver_config,
+    )
+    from ddpm_image_restoration_tpu.evaluation.harness import (
+        evaluate_restoration,
+    )
+    from ddpm_image_restoration_tpu.models import build_model
+    from tests._tiny import MINI
+
+    cfg = EvalConfig(
+        codec="webp",
+        model=MINI,
+        steps=100,
+        output_dir=str(tmp_path),
+        qualities_override=(30, 90),
+        compute_fid=False,
+    )
+    model = build_model("webp", MINI)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros(1)
+    )
+    ds = SyntheticImageDataset(4, 16)
+    images = np.stack([ds[i] for i in range(4)])
+    summary = evaluate_restoration(
+        cfg, model, params["params"], images, batch_size=4, verbose=False,
+        solver="auto",
+    )
+    for q in (30, 90):
+        row = summary["results"][str(q)]
+        pc = production_solver_config(q)
+        assert row["solver_encoder_reuse"] == pc["encoder_reuse"], q
+        assert row["solver_eta"] == pc["eta"], q
+        # budgeted stride: never more than max_evals evaluations
+        n_evals = -(-row["solver_init_t"] // row["solver_stride"])
+        assert n_evals <= pc["max_evals"], (q, n_evals)
+    # init_t (and with it the derived stride) must shrink with quality
+    assert (summary["results"]["30"]["solver_init_t"]
+            > summary["results"]["90"]["solver_init_t"])
+
+
 def test_lpips_alex_matches_torch(rng, tmp_path):
     """Canonical-LPIPS path: random AlexNet-shaped torch checkpoints pass
     through scripts/import_metric_weights.py and the jnp forward must match
