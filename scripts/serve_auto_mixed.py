@@ -75,7 +75,7 @@ def main() -> None:
     serve_argv = [
         "--watch", str(watch), "--output-dir", str(restored_dir),
         "--codec", "auto", "--model-codec", "all", "--quality", "auto",
-        "--attn-max-res", "32", "--max-evals", "14", "--encoder-reuse", "2",
+        "--attn-max-res", "32", "--solver", "auto",
         "--batch-size", "4", "--once",
     ]
     if args.smoke:
