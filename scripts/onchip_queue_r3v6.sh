@@ -83,9 +83,16 @@ run webp_hl_s1 40 2700 $EVAL --codec webp --consistency host_loop \
 grep -q "dct\[pallas\]" "$OUT/micro_ops.log" 2>/dev/null || \
 run micro_ops 35 2400 python -u scripts/bench_micro_ops.py || true
 
-[ -d "$OUT/serve_auto" ] || \
-run serve_auto 40 2700 python scripts/serve_auto_mixed.py \
-    --checkpoint-dir artifacts/r3_all --out "$OUT/serve_auto" || true
+if [ ! -d "$OUT/serve_auto" ]; then
+    if has_ckpt artifacts/r3_all; then
+        run serve_auto 40 2700 python scripts/serve_auto_mixed.py \
+            --checkpoint-dir artifacts/r3_all --out "$OUT/serve_auto" || true
+    else
+        run serve_auto 40 2700 python scripts/serve_auto_mixed.py \
+            --params-npz artifacts_release/all_teacher_r3.npz \
+            --out "$OUT/serve_auto" || true
+    fi
+fi
 
 run bench_ref 30 2100 python -u bench.py --stride 1 --encoder-reuse 1 \
     --attn-max-res 1024 --attn xla --batch 1 || true

@@ -31,6 +31,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/r2_parity/serve_auto")
     ap.add_argument("--checkpoint-dir", default="artifacts/r2_all")
+    ap.add_argument("--params-npz", default=None,
+                    help="release-weight npz (artifacts_release/*.npz); "
+                         "takes precedence over --checkpoint-dir so the "
+                         "exercise survives artifacts/ being wiped")
     ap.add_argument("--n", type=int, default=12)
     ap.add_argument("--smoke", action="store_true",
                     help="CPU smoke mode: random-init narrow model (plumbing "
@@ -81,6 +85,8 @@ def main() -> None:
     if args.smoke:
         serve_argv += ["--random-init", "--width-scale", "8",
                        "--platform", "cpu", "--steps", "8"]
+    elif args.params_npz:
+        serve_argv += ["--params-npz", args.params_npz]
     else:
         serve_argv += ["--checkpoint-dir", args.checkpoint_dir, "--use-ema"]
     serve_main(serve_argv)
