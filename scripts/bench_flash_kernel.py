@@ -10,8 +10,12 @@ the fused XLA path at the same shape where it fits.
 Usage: python scripts/bench_flash_kernel.py [--t 16384] [--heads 4]
            [--bh 8] [--iters 8]
 """
-
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
+
 
 import argparse
 import functools

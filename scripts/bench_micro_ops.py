@@ -6,8 +6,12 @@ timings through the axon tunnel are unreliable); reported number is
 ms/iteration. Shapes default to the production restore config's hottest
 level (batch 16, 128x128x64 bf16).
 """
-
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
+
 
 import argparse
 import os

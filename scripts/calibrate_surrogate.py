@@ -8,8 +8,12 @@ in m). Emits the `_CALIBRATION` lookup tables for codecs/surrogate.py.
 Usage:
     JAX_PLATFORMS=cpu python scripts/calibrate_surrogate.py [--images DIR]
 """
-
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
+
 
 import argparse
 

@@ -1,6 +1,10 @@
 """Regenerate the WebP quality -> y_ac_qi calibration table in
 codecs/estimate.py: encode dead-leaves (natural-image-statistics) images at
 each quality with PIL/libwebp and record the median parsed quantizer index."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
 
 import io
 

@@ -10,8 +10,12 @@ TPU hosts support callbacks.
 
 Usage: python scripts/check_callback_tpu.py
 """
-
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
+
 
 import time
 

@@ -16,6 +16,10 @@ acceptance bar is |restored-PSNR delta| <= 0.1 dB at every quality
 queues can flag it.
 """
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
 
 import argparse
 import json

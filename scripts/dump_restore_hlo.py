@@ -6,8 +6,12 @@ the largest copy ops and loop fusions with their operand shapes/layouts.
 
 Usage: python scripts/dump_restore_hlo.py [--size 128] [--batch 16] ...
 """
-
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
+
 
 import argparse
 import re

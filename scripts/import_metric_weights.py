@@ -1,4 +1,9 @@
 #!/usr/bin/env python
+from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
 r"""One-command proxy -> canonical metric upgrade (VERDICT.md round-1 #10).
 
 This environment has zero egress, so the canonical LPIPS (AlexNet,
@@ -23,7 +28,6 @@ With no arguments: probes all known cache locations and reports exactly
 which files are present/missing and what each drop enables.
 """
 
-from __future__ import annotations
 
 import argparse
 import glob

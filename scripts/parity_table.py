@@ -13,6 +13,10 @@ Usage:
     python scripts/parity_table.py results/r2_parity --out results/r2_parity/PARITY_TABLE.md
 """
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
 
 import argparse
 import json

@@ -6,8 +6,12 @@ cost (bench.py) to its components. Run on the real TPU chip.
 
 Usage: python scripts/perf_probe.py [--size 128] [--batch 8]
 """
-
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
+
 
 import argparse
 import time

@@ -7,8 +7,12 @@ the ground-truth answer to "where does the restore step spend its time".
 Usage: python scripts/profile_restore.py [--size 128] [--batch 8] [--steps 5]
            [--attn-max-res 1024] [--attn flash]
 """
-
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
+
 
 import argparse
 import glob

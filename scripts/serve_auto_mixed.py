@@ -13,6 +13,10 @@ user of the reference would (reference has no serving layer at all — its
 closest workflow is webp_inference.py:604's per-image loop).
 """
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
+del _os, _sys
+
 
 import argparse
 import os
