@@ -65,6 +65,11 @@ def main(argv=None):
                          "(diffusion/policy.py): budgeted evals with "
                          "encoder reuse below q70 — overrides --stride/"
                          "--max-evals/--encoder-reuse per quality")
+    ap.add_argument("--traced", action="store_true",
+                    help="quality-traced fixed-budget solver: ONE compiled "
+                         "program for the whole quality grid (needs "
+                         "--max-evals or --solver auto); outputs match the "
+                         "untraced budgeted path")
     ap.add_argument("--ensemble", type=int, default=1, choices=[1, 2, 4, 8],
                     help="dihedral test-time self-ensemble: average the "
                          "restorations of N flip/rotation variants")
@@ -178,7 +183,7 @@ def main(argv=None):
                          eta=args.eta, eta_b=args.eta_b,
                          init_t_override=args.init_t,
                          phase_threshold=args.phase_threshold,
-                         solver=args.solver)
+                         solver=args.solver, traced=args.traced)
 
 
 if __name__ == "__main__":

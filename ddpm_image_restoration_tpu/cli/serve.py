@@ -72,6 +72,12 @@ def main(argv=None):
                          "(diffusion/policy.py): budgeted evals, encoder "
                          "reuse below q70 — overrides --stride/--max-evals/"
                          "--encoder-reuse per batch from its quality bucket")
+    ap.add_argument("--traced", action="store_true",
+                    help="quality-traced fixed-budget solver (needs --solver "
+                         "auto or --max-evals): every batch — ANY quality "
+                         "mix — reuses one compiled program, and each file "
+                         "restores at its own init_t instead of the batch "
+                         "median's bucket")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel serving over N devices (-1 = all): "
                          "params replicated, each batch sharded over the "
@@ -360,10 +366,32 @@ def main(argv=None):
                 qualities + [float(bucket)] * (args.batch_size - n), jnp.float32
             )
         b_stride, b_enc, b_eta = solver_for(it, bucket)
-        out = sampler.sample(params, place(imgs), q, it,
+        it_arg, traced_budget = it, 0
+        if args.traced:
+            if args.solver == "auto":
+                from ddpm_image_restoration_tpu.diffusion.policy import (
+                    production_solver_config,
+                )
+
+                traced_budget = production_solver_config(bucket)["max_evals"]
+            elif args.max_evals:
+                traced_budget = args.max_evals
+            else:
+                raise SystemExit("--traced needs --solver auto or --max-evals")
+            # per-FILE init_t (not the batch median's bucket): the traced
+            # program takes init_t as a [B] runtime input, so a q10 file and
+            # a q90 file in the same batch each get their own schedule
+            it_arg = jnp.asarray(
+                [init_timestep_for_quality(int(round(qf)), args.steps,
+                                           sampler.preset)
+                 for qf in qualities] + [it] * (args.batch_size - n),
+                jnp.int32,
+            )
+        out = sampler.sample(params, place(imgs), q, it_arg,
                              key=sub, stride=b_stride,
                              protect=tuple(args.protect) if args.protect else None,
                              encoder_reuse=b_enc, eta=b_eta,
+                             traced_budget=traced_budget,
                              decoder_reuse_depth=args.decoder_reuse_depth)
         return batch_files, n, out
 

@@ -126,9 +126,14 @@ def _ddrm_update(x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset):
     noise = jax.random.normal(nkey, y.shape, jnp.float32)
     noise_scale = (t * preset.sampler_noise_scale)[:, None, None, None]
     x_next = eta_b * x_prime + (1.0 - eta_b) * x_theta + eta * noise * noise_scale
+    # `i`/`last` are scalars in the static-schedule paths and per-sample [B]
+    # vectors in the traced-budget path (_build_budget). The phase gate stays
+    # a batch-level decision keyed off the first sample either way, matching
+    # the reference's batch-scalar semantics (avif.py:518-520).
+    i0 = jnp.reshape(jnp.asarray(i), (-1,))[0]
     apply_phase = jnp.logical_and(
         q_vec[0] < preset.phase_quality_threshold,
-        jnp.logical_and(i % preset.phase_period == 0, i > 0),
+        jnp.logical_and(i0 % preset.phase_period == 0, i0 > 0),
     )
     x_next = jax.lax.cond(
         apply_phase,
@@ -136,7 +141,10 @@ def _ddrm_update(x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset):
         lambda v: v,
         x_next,
     )
-    return jnp.where(last, x_prime, x_next)
+    last_b = jnp.reshape(
+        jnp.broadcast_to(jnp.asarray(last), (y.shape[0],)), (-1, 1, 1, 1)
+    )
+    return jnp.where(last_b, x_prime, x_next)
 
 
 def _solver_indices(steps: int, stride: int) -> np.ndarray:
@@ -154,6 +162,49 @@ def _last_flags(idxs: np.ndarray) -> np.ndarray:
     flags = np.zeros(len(idxs), bool)
     flags[-1] = True
     return flags
+
+
+def _budget_schedule(init_t: jnp.ndarray, n_slots: int, s_max: int = 512):
+    """Traced-quality solver schedule: the exact per-sample step indices that
+    `student_stride(init_t, n_slots)` + `_solver_indices` would produce, but
+    computed from a TRACED per-sample init_t — so one compiled program covers
+    every quality (and mixed-quality batches) at a fixed eval budget.
+
+    Rationale: each (steps, stride) pair is its own XLA program; a 7-quality
+    eval or a quality-bucketed server compiles 7 programs, and fresh compiles
+    through the TPU tunnel measured up to ~25 min EACH (results/README.md,
+    round 3). At a fixed budget the schedule is data, not shape: scan length
+    is `n_slots`, per-sample indices are gathered from init_t.
+
+    Returns (idx, used, last), each [n_slots, B] (int32/bool/bool). Samples
+    whose real schedule has n < n_slots steps pad with masked slots (idx 0,
+    used False) AFTER their final step — padded slots still evaluate the
+    model (their output is discarded), the price of the single program.
+
+    The stride search replicates train/distill.py student_stride: the
+    smallest s with ceil(init_t/s) + (0 missed) <= n_slots; no s qualifies
+    only when n_slots == 1, where the fallback (stride = init_t) keeps one
+    evaluation at the degradation's own t, exactly _solver_indices'
+    stride >= steps rule.
+    """
+    s = jnp.asarray(init_t, jnp.int32)  # [B]
+    n = int(n_slots)
+    st_grid = jnp.arange(1, s_max + 1, dtype=jnp.int32)[:, None]        # [S,1]
+    n_main_g = (s[None, :] + st_grid - 1) // st_grid                     # [S,B]
+    miss_g = ((s[None, :] - 1) % st_grid) != 0
+    ok = (n_main_g + miss_g) <= n
+    st = jnp.where(jnp.any(ok, axis=0),
+                   jnp.argmax(ok, axis=0).astype(jnp.int32) + 1, s)
+    st = jnp.where(n >= s, 1, st)                                        # [B]
+    n_main = (s + st - 1) // st
+    miss = jnp.logical_and(((s - 1) % st) != 0, st < s)
+    n_used = jnp.where(st >= s, 1, n_main + miss)
+    k = jnp.arange(n, dtype=jnp.int32)[:, None]                          # [N,1]
+    idx = jnp.where(k < n_main[None, :],
+                    jnp.maximum(s[None, :] - 1 - k * st[None, :], 0), 0)
+    used = k < n_used[None, :]
+    last = k == (n_used[None, :] - 1)
+    return idx, used, last
 
 
 class DDRMSampler:
@@ -345,6 +396,139 @@ class DDRMSampler:
 
         return run
 
+    def _build_budget(
+        self,
+        n_slots: int,
+        encoder_reuse: int = 1,
+        decoder_reuse_depth: int = 0,
+        remat: bool = False,
+    ):
+        """ONE compiled program for every quality: the fixed-budget solver
+        with a TRACED per-sample init_t (see _budget_schedule). Shapes are
+        static — scan length `n_slots`, indices/norms gathered from the
+        traced init_t vector — so a 7-quality eval or a mixed-quality serving
+        batch reuses a single XLA executable instead of compiling one program
+        per (steps, stride) pair. Step algebra, key sequence, and encoder-
+        reuse group boundaries are IDENTICAL to _build for every used slot
+        (padded slots after a sample's final step evaluate the model and
+        discard the result), so outputs match the static-schedule budgeted
+        path to float-fusion tolerance (pinned in tests/test_samplers.py)."""
+        if self.consistency_mode == "host_loop":
+            raise ValueError("traced-budget solver requires an on-device "
+                             "consistency mode")
+        preset = self.preset
+        model = self.model
+        consistency = self.consistency
+        prediction = self.prediction
+        cond = self._cond
+
+        @jax.jit
+        def run(params, y, quality, init_t, key, eta, eta_b):
+            b = y.shape[0]
+            y = y.astype(jnp.float32)
+            q_vec = jnp.broadcast_to(jnp.asarray(quality, jnp.float32), (b,))
+            it_vec = jnp.broadcast_to(jnp.asarray(init_t, jnp.int32), (b,))
+            idx, used, last = _budget_schedule(it_vec, n_slots)
+            t_den = it_vec.astype(jnp.float32)  # t = i/init_t per sample
+            #                                     (quirk 11, sample docstring)
+
+            def model_eval(x_t, apply_fn, i_b):
+                t = i_b.astype(jnp.float32) / t_den
+                x_theta = apply_fn(x_t, t).astype(jnp.float32)
+                if prediction == "residual":
+                    x_theta = x_t + x_theta
+                return t, x_theta
+
+            def update(x_t, x_th, x_theta, t, i_b, u_b, l_b, nkey):
+                c = consistency(x_theta, q_vec)
+                x_next = _ddrm_update(
+                    x_theta, c, y, nkey, i_b, l_b, t, q_vec, eta, eta_b, preset
+                )
+                u = u_b[:, None, None, None]
+                return jnp.where(u, x_next, x_t), jnp.where(u, x_theta, x_th)
+
+            if encoder_reuse > 1:
+                ddepth = decoder_reuse_depth
+                n_pad = -(-n_slots // encoder_reuse) * encoder_reuse
+                if n_pad != n_slots:  # pad to whole groups with masked slots
+                    pad = n_pad - n_slots
+                    idx_p = jnp.concatenate(
+                        [idx, jnp.zeros((pad, b), jnp.int32)])
+                    used_p = jnp.concatenate(
+                        [used, jnp.zeros((pad, b), bool)])
+                    last_p = jnp.concatenate(
+                        [last, jnp.zeros((pad, b), bool)])
+                else:
+                    idx_p, used_p, last_p = idx, used, last
+                g = n_pad // encoder_reuse
+                xs = tuple(a.reshape(g, encoder_reuse, b)
+                           for a in (idx_p, used_p, last_p))
+
+                def encode(x_t, t):
+                    return model.apply(params, x_t, t, t, method="encode",
+                                       **cond)
+
+                def group_features(feats, t0):
+                    if ddepth:
+                        deep = model.apply(
+                            params, feats, t0, t0, method="decode_deep",
+                            depth=ddepth, **cond,
+                        )
+                        return (feats[0], deep)
+                    return feats
+
+                def decode(cached, t):
+                    if ddepth:
+                        skips, deep = cached
+                        return model.apply(
+                            params, deep, skips, t, t,
+                            method="decode_shallow", depth=ddepth, **cond,
+                        )
+                    return model.apply(params, cached, t, t, method="decode",
+                                       **cond)
+
+                def group(carry, xs_g):
+                    x_t, x_th, key = carry
+                    i_g, u_g, l_g = xs_g  # each [encoder_reuse, B]
+                    t0 = i_g[0].astype(jnp.float32) / t_den
+                    cached = group_features(encode(x_t, t0), t0)
+                    for j in range(encoder_reuse):  # static unroll
+                        key, nkey = jax.random.split(key)
+                        t, x_theta = model_eval(
+                            x_t, lambda v, tt: decode(cached, tt), i_g[j]
+                        )
+                        x_t, x_th = update(
+                            x_t, x_th, x_theta, t, i_g[j], u_g[j], l_g[j],
+                            nkey,
+                        )
+                    return (x_t, x_th, key), None
+
+                body = jax.checkpoint(group) if remat else group
+                (x_final, x_theta_last, _), _ = jax.lax.scan(
+                    body, (y, y, key), xs
+                )
+                return x_final, x_theta_last
+
+            def step(carry, xs_s):
+                x_t, x_th, key = carry
+                i_b, u_b, l_b = xs_s  # each [B]
+                key, nkey = jax.random.split(key)
+                t, x_theta = model_eval(
+                    x_t,
+                    lambda v, tt: model.apply(params, v, tt, tt, **cond),
+                    i_b,
+                )
+                x_t, x_th = update(x_t, x_th, x_theta, t, i_b, u_b, l_b, nkey)
+                return (x_t, x_th, key), None
+
+            body = jax.checkpoint(step) if remat else step
+            (x_final, x_theta_last, _), _ = jax.lax.scan(
+                body, (y, y, key), (idx, used, last)
+            )
+            return x_final, x_theta_last
+
+        return run
+
     def _build_host_loop(
         self,
         steps: int,
@@ -473,6 +657,7 @@ class DDRMSampler:
         encoder_reuse: int = 1,
         decoder_reuse_depth: int = 0,
         final_exact: Optional[bool] = None,
+        traced_budget: int = 0,
     ) -> jnp.ndarray:
         """Restore compressed observation y (NHWC, [-1,1]) at codec `quality`
         (a scalar, or a per-sample [B] vector — each image restores at its own
@@ -506,6 +691,14 @@ class DDRMSampler:
         round 1). Running the scan's iterative refinement on the surrogate but
         the final anchor on the real codec restores the reference's
         never-worse-than-y property at the cost of ONE host codec call.
+
+        `traced_budget` = N > 0 switches to the quality-traced fixed-budget
+        solver (_build_budget): `steps` becomes a runtime input (int or
+        per-sample [B] vector of init_t values), `stride` is ignored (derived
+        per sample in-program), and ONE compiled executable serves every
+        quality — including mixed-quality batches — at N evaluation slots.
+        Used-step outputs match the static budgeted path (same schedule,
+        same algebra, same keys; float-fusion tolerance across programs).
         """
         if encoder_reuse < 1:
             raise ValueError("encoder_reuse must be >= 1")
@@ -516,23 +709,40 @@ class DDRMSampler:
                 "decoder_reuse_depth requires encoder_reuse > 1 (the deep "
                 "decoder is cached per encoder-reuse group)"
             )
-        sig = (steps, stride, encoder_reuse, decoder_reuse_depth)
-        if sig not in self._compiled:
-            if self.consistency_mode == "host_loop":
-                self._compiled[sig] = self._build_host_loop(
-                    steps, stride, encoder_reuse, decoder_reuse_depth
-                )
-            else:
-                self._compiled[sig] = self._build(
-                    steps, stride, encoder_reuse, decoder_reuse_depth
-                )
         if key is None:
             key = jax.random.PRNGKey(0)
         eta = self.preset.eta if eta is None else eta
         eta_b = self.preset.eta_b if eta_b is None else eta_b
-        out, x_theta_last = self._compiled[sig](
-            params, y, quality, key, jnp.float32(eta), jnp.float32(eta_b)
-        )
+        if traced_budget:
+            # Quality-traced fixed-budget solver: `steps` (init_t — an int or
+            # a per-sample [B] vector) is a RUNTIME input, so one compiled
+            # program serves every quality at this eval budget; `stride` is
+            # derived per sample inside the program (_budget_schedule) and
+            # the `stride` argument is ignored.
+            sig = ("budget", int(traced_budget), encoder_reuse,
+                   decoder_reuse_depth)
+            if sig not in self._compiled:
+                self._compiled[sig] = self._build_budget(
+                    int(traced_budget), encoder_reuse, decoder_reuse_depth
+                )
+            out, x_theta_last = self._compiled[sig](
+                params, y, quality, jnp.asarray(steps, jnp.int32), key,
+                jnp.float32(eta), jnp.float32(eta_b)
+            )
+        else:
+            sig = (steps, stride, encoder_reuse, decoder_reuse_depth)
+            if sig not in self._compiled:
+                if self.consistency_mode == "host_loop":
+                    self._compiled[sig] = self._build_host_loop(
+                        steps, stride, encoder_reuse, decoder_reuse_depth
+                    )
+                else:
+                    self._compiled[sig] = self._build(
+                        steps, stride, encoder_reuse, decoder_reuse_depth
+                    )
+            out, x_theta_last = self._compiled[sig](
+                params, y, quality, key, jnp.float32(eta), jnp.float32(eta_b)
+            )
         if final_exact is None:
             final_exact = self.consistency_mode == "surrogate"
         if final_exact and self.consistency_mode == "surrogate":

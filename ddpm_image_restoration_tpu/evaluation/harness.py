@@ -78,6 +78,7 @@ def evaluate_restoration(
     init_t_override: int = 0,
     phase_threshold=None,
     solver: str = "manual",
+    traced: bool = False,
 ) -> Dict:
     """Run the full evaluation over `images` [N,H,W,3] in [-1,1].
 
@@ -96,6 +97,13 @@ def evaluate_restoration(
     (diffusion/policy.py production_solver_config) instead of the fixed
     stride/encoder_reuse/max_evals arguments — the config a `--quality auto`
     serving deployment would actually run.
+
+    `traced=True` (requires a budgeted solver: max_evals or solver='auto')
+    runs the quality-traced fixed-budget program (ddrm.py _build_budget):
+    every quality in the grid reuses ONE compiled executable instead of
+    compiling one program per quality — the difference between 1 and
+    len(eval_qualities) fresh XLA compiles per eval run. Used-step outputs
+    match the untraced budgeted path to float-fusion tolerance.
     """
     preset = cfg.preset
     if phase_threshold is not None:
@@ -157,6 +165,14 @@ def evaluate_restoration(
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
             stride = student_stride(init_t, q_max_evals)
+        q_traced_budget = 0
+        if traced:
+            if not q_max_evals:
+                raise ValueError(
+                    "traced=True needs a fixed eval budget: pass max_evals "
+                    "or solver='auto'"
+                )
+            q_traced_budget = int(q_max_evals)
         comp_all, rest_all = [], []
         t_start = time.time()
         n_restored = 0
@@ -172,6 +188,7 @@ def evaluate_restoration(
                                 encoder_reuse=q_enc_reuse,
                                 decoder_reuse_depth=decoder_reuse_depth,
                                 final_exact=final_exact,
+                                traced_budget=q_traced_budget,
                                 eta=q_eta, eta_b=eta_b)
             )
             n_restored += len(x0)
@@ -229,6 +246,7 @@ def evaluate_restoration(
         "max_evals": int(max_evals),
         "encoder_reuse": int(encoder_reuse),
         "solver": solver,
+        "traced": bool(traced),
         "consistency_mode": cfg.consistency_mode,
         "final_exact": bool(final_exact if final_exact is not None
                             else cfg.consistency_mode == "surrogate"),

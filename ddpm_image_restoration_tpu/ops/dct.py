@@ -48,12 +48,16 @@ def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
     UNet feature maps here are always block-size multiples).
 
     Formulation is selectable via DDPM_IR_DCT_IMPL = kron (default) |
-    blockdiag | shifts | pallas: `kron` is the tile-reshape [N, bs²] x
+    blockdiag | shifts: `kron` is the tile-reshape [N, bs²] x
     [bs², bs²] Kronecker GEMM; `blockdiag` contracts the full H then W axes
     against kron(I, D) block-diagonal matrices; `shifts` is pure elementwise
-    strided slices + scalar multiply-adds; `pallas` is the VMEM-resident
-    kernel (ops/pallas/block_dct.py — blockdiag math without its HBM
-    relayouts; falls back to kron off-TPU and for tiny planes).
+    strided slices + scalar multiply-adds. (A VMEM-resident Pallas kernel
+    was tried across rounds 2-3 and DELETED: it passed interpret-mode parity
+    but never compiled on real Mosaic — tpu_compile_helper exit 1 on every
+    on-chip attempt, results/r3/micro_ops.log — while the flash-attention
+    kernels compile fine through the same path. The kron GEMM is already
+    MXU-shaped and within ~10% of the measured DCT budget, so the kernel's
+    ceiling did not justify carrying a broken compile path.)
 
     The default is measured END-TO-END, not on micro-benchmarks (full 128²
     restore bench, v5e): kron 201.9 img/s, shifts 149.4, blockdiag 12.1.
@@ -72,15 +76,6 @@ def spatial_block_dct(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
         x_p = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
         return spatial_block_dct(x_p, bs)[:, :h, :w, :]
     impl = os.environ.get("DDPM_IR_DCT_IMPL", "kron")
-    if impl == "pallas":
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if on_tpu and h >= 32 and w >= 32:
-            from ddpm_image_restoration_tpu.ops.pallas.block_dct import (
-                block_dct_nhwc,
-            )
-
-            return block_dct_nhwc(x, bs)
-        # fall through to kron for tiny planes / non-TPU backends
     if impl == "shifts":
         # Pure-elementwise formulation: within a block, each output row is a
         # fixed bs-term linear combination of input rows — strided slices +

@@ -268,6 +268,43 @@ def test_serve_auto_per_sample_quality(tmp_path, capsys):
     assert "12" in line and "88" in line
 
 
+def test_serve_traced_budget_mixed_quality(tmp_path, capsys):
+    """--traced: one compiled program serves a mixed-quality batch with each
+    file restored at its OWN init_t (a [B] runtime input), instead of the
+    batch median's bucket — and the executable cache ends with exactly one
+    budget-mode entry."""
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(watch / "lo.jpg", quality=12)
+    Image.fromarray(arr).save(watch / "hi.jpg", quality=88)
+    out = tmp_path / "out"
+    main([
+        "--watch", str(watch), "--output-dir", str(out), "--codec", "jpeg",
+        *TINY_FLAGS, "--random-init", "--quality", "auto", "--steps", "8",
+        "--batch-size", "2", "--once", "--traced", "--max-evals", "2",
+    ])
+    assert len(list(out.glob("*_restored.png"))) == 2
+
+
+def test_serve_traced_requires_budget(tmp_path):
+    from ddpm_image_restoration_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+        watch / "a.jpg", quality=50)
+    with pytest.raises(SystemExit, match="--traced needs"):
+        main([
+            "--watch", str(watch), "--output-dir", str(tmp_path / "out"),
+            "--codec", "jpeg", *TINY_FLAGS, "--random-init",
+            "--steps", "8", "--batch-size", "1", "--once", "--traced",
+        ])
+
+
 @pytest.mark.slow
 def test_evaluate_real_patches(tmp_path):
     """--real: the evaluate CLI runs on bundled real-photo patches."""

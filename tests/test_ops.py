@@ -114,15 +114,3 @@ def test_spatial_dct_impls_agree(rng, monkeypatch):
             got = np.asarray(spatial_block_dct(x, bs))
             np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=impl)
 
-
-def test_pallas_block_dct_matches_kron(rng, monkeypatch):
-    """The VMEM-resident Pallas kernel (interpret mode on CPU) must match the
-    XLA kron formulation, including non-square planes and channel chunking."""
-    from ddpm_image_restoration_tpu.ops.pallas.block_dct import block_dct_nhwc
-
-    monkeypatch.setenv("DDPM_IR_DCT_IMPL", "kron")
-    for (b, h, w, c, bs) in [(2, 32, 32, 64, 4), (1, 64, 32, 96, 8)]:
-        x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
-        ref = np.asarray(spatial_block_dct(x, bs))
-        got = np.asarray(block_dct_nhwc(x, bs, interpret=True))
-        np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -526,3 +526,110 @@ def test_production_solver_policy():
     assert strides[0] > strides[90], strides
     assert strides[90] == 2  # init_t 20 -> 10 evals (within the 14 budget)
     assert student_stride(14, production_solver_config(95)["max_evals"]) == 1
+
+
+def test_budget_schedule_matches_static():
+    """_budget_schedule (traced) must reproduce student_stride +
+    _solver_indices + _last_flags exactly for every (init_t, budget):
+    same used indices in order, last flag on the final used slot, padded
+    slots unused — the contract that makes the traced-budget solver a
+    drop-in for the per-quality-compiled one."""
+    from ddpm_image_restoration_tpu.diffusion.ddrm import (
+        _budget_schedule,
+        _last_flags,
+        _solver_indices,
+    )
+    from ddpm_image_restoration_tpu.train.distill import student_stride
+
+    cases = [(s, n) for n in (1, 2, 4, 13, 14, 28)
+             for s in (2, 3, 5, 10, 13, 15, 20, 37, 70, 75, 100)]
+    init_ts = jnp.asarray([s for s, _ in cases if _ == 14] or [70])
+    # vectorised check at N=14 across a mixed batch in ONE call
+    idx_b, used_b, last_b = _budget_schedule(init_ts, 14)
+    for col, s in enumerate(np.asarray(init_ts)):
+        ref = _solver_indices(int(s), student_stride(int(s), 14))
+        n = int(np.asarray(used_b)[:, col].sum())
+        assert n == len(ref), (s, n, len(ref))
+        np.testing.assert_array_equal(np.asarray(idx_b)[:n, col], ref)
+        assert np.asarray(last_b)[n - 1, col] and not np.asarray(last_b)[:n - 1, col].any()
+    # scalar-batch sweep over every (s, n) pair
+    for s, n in cases:
+        ref = _solver_indices(s, student_stride(s, n))
+        idx, used, last = _budget_schedule(jnp.asarray([s]), n)
+        idx, used, last = (np.asarray(a)[:, 0] for a in (idx, used, last))
+        m = int(used.sum())
+        assert m == len(ref), (s, n, m, len(ref))
+        np.testing.assert_array_equal(idx[:m], ref)
+        np.testing.assert_array_equal(_last_flags(ref), last[:m])
+        assert not used[m:].any() and not last[m:].any()
+
+
+def test_traced_budget_matches_static_budget(y32):
+    """sample(traced_budget=N) must reproduce the static budgeted solver
+    sample(stride=student_stride(init_t, N)) — same model, same keys — for
+    used steps, at encoder_reuse 1 AND 2 (the production config shape).
+    eta=0 so per-slot noise keys cannot differ on padded slots. Tolerance:
+    the two are DIFFERENT XLA programs (the traced one carries masked
+    where()s), so fusion may reorder float ops — measured max |diff| 4e-6
+    on the tiny model; identical step algebra is pinned exactly by
+    test_budget_schedule_matches_static and the fake-model path."""
+    from ddpm_image_restoration_tpu.train.distill import student_stride
+
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    for enc in (1, 2):
+        for q, init_t in ((10, 9), (50, 6)):
+            kw = dict(quality=q, key=jax.random.PRNGKey(1), eta=0.0,
+                      encoder_reuse=enc, final_exact=False)
+            static = np.asarray(sampler.sample(
+                params, y32, steps=init_t,
+                stride=student_stride(init_t, 4), **kw))
+            traced = np.asarray(sampler.sample(
+                params, y32, steps=init_t, traced_budget=4, **kw))
+            np.testing.assert_allclose(traced, static, atol=1e-4,
+                                       err_msg=f"enc={enc} q={q}")
+
+
+def test_traced_budget_mixed_quality_batch(y32):
+    """One traced-budget program restores a MIXED-quality batch: each lane
+    must equal the same lane restored in a single-quality batch at its own
+    quality (eta=0 makes lanes independent of batch composition). Qualities
+    stay ABOVE the phase-consistency threshold (webp: 20) — the phase gate
+    is a batch-level decision keyed off sample 0 (reference batch-scalar
+    semantics, same as the static path with a per-sample q_vec), so lanes
+    only decouple outside the phase regime."""
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    q_vec = jnp.asarray([30.0, 80.0])
+    it_vec = jnp.asarray([9, 3])
+    kw = dict(key=jax.random.PRNGKey(2), eta=0.0, final_exact=False,
+              traced_budget=4)
+    mixed = np.asarray(sampler.sample(params, y32, quality=q_vec,
+                                      steps=it_vec, **kw))
+    for lane in range(2):
+        solo = np.asarray(sampler.sample(
+            params, y32,
+            quality=jnp.full((2,), q_vec[lane]),
+            steps=jnp.full((2,), it_vec[lane], jnp.int32), **kw))
+        np.testing.assert_allclose(mixed[lane], solo[lane], atol=1e-4,
+                                   err_msg=f"lane={lane}")
+
+
+def test_traced_budget_one_program_many_qualities(y32):
+    """The point of the traced path: restoring at several qualities must
+    reuse ONE cached executable (the static path caches one per quality)."""
+    model = build_model("webp", TINY)
+    params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
+    sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
+    for q, it in ((5, 10), (30, 7), (80, 3)):
+        out = sampler.sample(params, y32, quality=q, steps=it,
+                             traced_budget=4, eta=0.0, final_exact=False)
+        assert np.all(np.isfinite(np.asarray(out)))
+    budget_sigs = [s for s in sampler._compiled if s[0] == "budget"]
+    assert budget_sigs == [("budget", 4, 1, 0)]
+    with pytest.raises(ValueError):
+        DDRMSampler(_ZeroModel(), get_preset("webp"),
+                    consistency_mode="host_loop").sample(
+            None, y32, quality=10, steps=5, traced_budget=4)
