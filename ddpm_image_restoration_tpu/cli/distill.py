@@ -32,9 +32,14 @@ def main(argv=None):
         description="Distill a trained DDRM restorer into a few-eval student"
     )
     add_model_flags(ap)
-    ap.add_argument("--teacher-dir", required=True,
+    ap.add_argument("--teacher-dir", default="",
                     help="checkpoint dir of the trained teacher (best/EMA "
                          "weights are used)")
+    ap.add_argument("--teacher-npz", default="",
+                    help="release-npz teacher weights (scripts/"
+                         "export_release_ckpt.py output) — the durable "
+                         "alternative when the teacher's Orbax tree is gone; "
+                         "overrides --teacher-dir")
     ap.add_argument("--n-eval", type=int, default=1,
                     help="student model evaluations per restore")
     ap.add_argument("--teacher-stride", type=int, default=1,
@@ -88,8 +93,11 @@ def main(argv=None):
     cfg = train_config_from(args)
     from ddpm_image_restoration_tpu.train.distill import DistillConfig, distill_model
 
+    if not args.teacher_dir and not args.teacher_npz:
+        ap.error("one of --teacher-dir / --teacher-npz is required")
     dcfg = DistillConfig(
         teacher_dir=args.teacher_dir,
+        teacher_npz=args.teacher_npz,
         n_eval=args.n_eval,
         teacher_stride=args.teacher_stride,
         qualities=tuple(args.qualities),

@@ -110,6 +110,10 @@ def main(argv=None):
                          "16-aligned overlap tiles (utils/tiling.py)")
     ap.add_argument("--tile-overlap", type=int, default=32)
     args = ap.parse_args(argv)
+    if args.traced and args.solver != "auto" and not args.max_evals:
+        # Fail at startup, not when the first batch arrives: a misconfigured
+        # watch-mode server would otherwise start healthy and die mid-watch.
+        ap.error("--traced needs --solver auto or --max-evals")
     from ddpm_image_restoration_tpu.cli.common import (
         resolve_codecs,
         sampler_codec_id,

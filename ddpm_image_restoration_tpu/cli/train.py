@@ -77,7 +77,8 @@ def main(argv=None):
         )
 
         real = RealPatchDataset(0 if args.real < 0 else args.real,
-                                cfg.model.image_size, split="train")
+                                cfg.model.image_size, split="train",
+                                augment=True)
         dataset = real if dataset is None else ConcatDataset(dataset, real)
 
     from ddpm_image_restoration_tpu.train.loop import train_model

@@ -127,20 +127,42 @@ def _ddrm_update(x_theta, c, y, nkey, i, last, t, q_vec, eta, eta_b, preset):
     noise_scale = (t * preset.sampler_noise_scale)[:, None, None, None]
     x_next = eta_b * x_prime + (1.0 - eta_b) * x_theta + eta * noise * noise_scale
     # `i`/`last` are scalars in the static-schedule paths and per-sample [B]
-    # vectors in the traced-budget path (_build_budget). The phase gate stays
-    # a batch-level decision keyed off the first sample either way, matching
-    # the reference's batch-scalar semantics (avif.py:518-520).
-    i0 = jnp.reshape(jnp.asarray(i), (-1,))[0]
-    apply_phase = jnp.logical_and(
-        q_vec[0] < preset.phase_quality_threshold,
-        jnp.logical_and(i0 % preset.phase_period == 0, i0 > 0),
-    )
-    x_next = jax.lax.cond(
-        apply_phase,
-        lambda v: phase_consistency(v, y, preset.phase_alpha),
-        lambda v: v,
-        x_next,
-    )
+    # vectors in the traced-budget path (_build_budget).
+    i_arr = jnp.asarray(i)
+    if i_arr.ndim == 0:
+        # Static schedule: the whole batch shares one step index, so the gate
+        # is a batch-level decision keyed off the first sample's quality,
+        # matching the reference's batch-scalar semantics (avif.py:518-520).
+        apply_phase = jnp.logical_and(
+            q_vec[0] < preset.phase_quality_threshold,
+            jnp.logical_and(i_arr % preset.phase_period == 0, i_arr > 0),
+        )
+        x_next = jax.lax.cond(
+            apply_phase,
+            lambda v: phase_consistency(v, y, preset.phase_alpha),
+            lambda v: v,
+            x_next,
+        )
+    else:
+        # Traced-budget path: every lane has its own step index and quality,
+        # so gate PER SAMPLE — a file's restoration must not depend on which
+        # other files share its serving batch. Padded slots (idx 0) are
+        # excluded by i > 0, exactly like the static schedules' step 0.
+        # phase_consistency is per-image (FFT over axes (1, 2)), so masking
+        # lanes with where() is exact; the any() cond skips both FFTs on the
+        # (common) steps where no lane is in the phase regime.
+        q_b = jnp.broadcast_to(jnp.asarray(q_vec), (y.shape[0],))
+        apply_b = jnp.logical_and(
+            q_b < preset.phase_quality_threshold,
+            jnp.logical_and(i_arr % preset.phase_period == 0, i_arr > 0),
+        )
+        x_next = jax.lax.cond(
+            jnp.any(apply_b),
+            lambda v: jnp.where(apply_b[:, None, None, None],
+                                phase_consistency(v, y, preset.phase_alpha), v),
+            lambda v: v,
+            x_next,
+        )
     last_b = jnp.reshape(
         jnp.broadcast_to(jnp.asarray(last), (y.shape[0],)), (-1, 1, 1, 1)
     )
@@ -662,8 +684,10 @@ class DDRMSampler:
         """Restore compressed observation y (NHWC, [-1,1]) at codec `quality`
         (a scalar, or a per-sample [B] vector — each image restores at its own
         quality through the consistency step, noise schedule, and protection
-        blend; the phase-consistency gate keys off the first sample, matching
-        the reference's batch-scalar semantics).
+        blend; in the static-schedule paths the phase-consistency gate keys
+        off the first sample, matching the reference's batch-scalar semantics,
+        while the traced-budget path gates it per sample so a lane's output
+        never depends on batch composition).
 
         `steps` is both the scan length and the time normalizer, matching the
         reference's sample(y, q, steps=init_t) calling convention

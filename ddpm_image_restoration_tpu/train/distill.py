@@ -56,6 +56,10 @@ class DistillConfig:
     """Distillation hyper-parameters on top of a TrainConfig."""
 
     teacher_dir: str = "./checkpoints"         # trained teacher checkpoints
+    # release-npz teacher (train/checkpoint.py:load_release_params format);
+    # overrides teacher_dir when set — the durable alternative on machines
+    # whose artifacts/ (Orbax trees) is wiped between boots
+    teacher_npz: str = ""
     n_eval: int = 1                            # student model evaluations
     teacher_stride: int = 1                    # 1 = full-solver teacher
     # quality buckets to distill. () = the preset's full EVAL grid, not just
@@ -224,21 +228,34 @@ def distill_model(
 
     model = build_model(cfg.codec, cfg.model)
 
-    # ---- teacher: best checkpoint (EMA weights when present) -------------
+    # ---- teacher: best checkpoint (EMA weights when present), or a
+    # release .npz — the artifact that survives machine resets (Orbax
+    # checkpoint trees live in the wiped-on-boot artifacts/ directory) -----
     from ddpm_image_restoration_tpu.train.steps import create_train_state
 
-    teacher_mgr = CheckpointManager(dcfg.teacher_dir)
-    # template must mirror the training-time state structure (optimizer
-    # moments included) for Orbax's structure check
-    t_state = create_train_state(model, cfg, jax.random.PRNGKey(0))
-    restored = teacher_mgr.restore_best(t_state) or teacher_mgr.restore_latest(t_state)
-    if restored is None:
-        raise FileNotFoundError(f"no teacher checkpoint under {dcfg.teacher_dir!r}")
-    t_state, t_meta = restored
-    teacher_params = t_state.ema_params or t_state.params
-    if verbose:
-        which = "ema" if t_state.ema_params is not None else "raw"
-        print(f"teacher: {dcfg.teacher_dir} ({which} params) {t_meta}")
+    if dcfg.teacher_npz:
+        from ddpm_image_restoration_tpu.train.checkpoint import (
+            load_release_params,
+        )
+
+        teacher_params = load_release_params(dcfg.teacher_npz)
+        if verbose:
+            print(f"teacher: release params {dcfg.teacher_npz}")
+    else:
+        teacher_mgr = CheckpointManager(dcfg.teacher_dir)
+        # template must mirror the training-time state structure (optimizer
+        # moments included) for Orbax's structure check
+        t_state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        restored = (teacher_mgr.restore_best(t_state)
+                    or teacher_mgr.restore_latest(t_state))
+        if restored is None:
+            raise FileNotFoundError(
+                f"no teacher checkpoint under {dcfg.teacher_dir!r}")
+        t_state, t_meta = restored
+        teacher_params = t_state.ema_params or t_state.params
+        if verbose:
+            which = "ema" if t_state.ema_params is not None else "raw"
+            print(f"teacher: {dcfg.teacher_dir} ({which} params) {t_meta}")
 
     # ---- student: init from teacher --------------------------------------
     batch_size = cfg.effective_batch_size
@@ -373,6 +390,9 @@ def _distill_progressive(
         cfg_k = dataclasses.replace(cfg, checkpoint_dir=stage_dir)
         dcfg_k = dataclasses.replace(
             dcfg, teacher_dir=teacher_dir, n_eval=budget,
+            # a release-npz teacher only seeds stage 0; later stages teach
+            # from the previous stage's own checkpoints
+            teacher_npz=dcfg.teacher_npz if k == 0 else "",
             teacher_n_eval=teacher_n_eval, progressive=False,
         )
         state, history = distill_model(

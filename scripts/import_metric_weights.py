@@ -1,9 +1,4 @@
 #!/usr/bin/env python
-from __future__ import annotations
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))  # run without install
-del _os, _sys
-
 r"""One-command proxy -> canonical metric upgrade (VERDICT.md round-1 #10).
 
 This environment has zero egress, so the canonical LPIPS (AlexNet,
@@ -29,11 +24,16 @@ which files are present/missing and what each drop enables.
 """
 
 
+from __future__ import annotations
+
 import argparse
 import glob
 import os
 import shutil
 import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".."))  # run without install
 
 import numpy as np
 

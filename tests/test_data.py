@@ -253,7 +253,7 @@ def test_real_patches_deterministic_and_disjoint():
     from ddpm_image_restoration_tpu.data import RealPatchDataset
 
     ds = RealPatchDataset(image_size=64)
-    assert len(ds) > 50  # three bundled photos tile into hundreds of crops
+    assert len(ds) > 50  # four bundled photos tile into hundreds of crops
     x = ds[0]
     assert x.shape == (64, 64, 3) and x.dtype == np.float32
     assert -1.0 <= x.min() and x.max() <= 1.0
@@ -261,12 +261,31 @@ def test_real_patches_deterministic_and_disjoint():
     tr = RealPatchDataset(image_size=64, split="train")
     ev = RealPatchDataset(image_size=64, split="eval")
     assert len(tr) + len(ev) == len(ds)
-    # disjoint: no eval patch appears among train patches
+    assert len(ev) >= 32  # big enough to quote as a held-out real eval
+    # disjoint: no eval patch appears among train patches (the region split
+    # makes the splits pixel-disjoint at EVERY scale, not just byte-unequal)
     tr_set = {tr[i].tobytes() for i in range(len(tr))}
     assert all(ev[i].tobytes() not in tr_set for i in range(len(ev)))
     # truncation keeps a prefix of the shuffled order
     np.testing.assert_array_equal(
         RealPatchDataset(8, image_size=64, split="eval")[3], ev[3])
+
+
+def test_real_patches_dihedral_augment():
+    """augment=True expands each patch by the 8 dihedral transforms."""
+    from ddpm_image_restoration_tpu.data import RealPatchDataset
+
+    base = RealPatchDataset(image_size=64, split="train")
+    aug = RealPatchDataset(image_size=64, split="train", augment=True)
+    assert len(aug) == 8 * len(base)
+    np.testing.assert_array_equal(aug[0], base[0])  # transform 0 = identity
+    np.testing.assert_array_equal(aug[8], base[1])
+    # the 8 views of one patch are the dihedral orbit: all same pixel bag,
+    # rot90 (k=1) matches numpy's rot90 of the identity view
+    np.testing.assert_array_equal(aug[1], np.rot90(base[0]))
+    np.testing.assert_array_equal(aug[4], base[0][:, ::-1])
+    orbit = {aug[k].tobytes() for k in range(8)}
+    assert len(orbit) == 8  # natural photos have no dihedral symmetry
 
 
 def test_real_patches_not_flat():

@@ -591,19 +591,24 @@ def test_traced_budget_matches_static_budget(y32):
                                        err_msg=f"enc={enc} q={q}")
 
 
-def test_traced_budget_mixed_quality_batch(y32):
+@pytest.mark.parametrize("q_pair,it_pair", [
+    ((30.0, 80.0), (9, 3)),   # both above the phase threshold
+    ((10.0, 80.0), (9, 3)),   # lane 0 INSIDE the phase regime (webp: q < 20)
+])
+def test_traced_budget_mixed_quality_batch(y32, q_pair, it_pair):
     """One traced-budget program restores a MIXED-quality batch: each lane
     must equal the same lane restored in a single-quality batch at its own
-    quality (eta=0 makes lanes independent of batch composition). Qualities
-    stay ABOVE the phase-consistency threshold (webp: 20) — the phase gate
-    is a batch-level decision keyed off sample 0 (reference batch-scalar
-    semantics, same as the static path with a per-sample q_vec), so lanes
-    only decouple outside the phase regime."""
+    quality (eta=0 makes lanes independent of batch composition). The
+    phase-consistency gate is PER SAMPLE in the traced path — each lane keys
+    off its own step index and quality — so independence holds even when one
+    lane is inside the phase regime and the other is not, and a file served
+    via serve --traced restores identically regardless of which other files
+    share its batch."""
     model = build_model("webp", TINY)
     params = model.init(jax.random.PRNGKey(0), y32, jnp.zeros(2))
     sampler = DDRMSampler(model, get_preset("webp"), consistency_mode="surrogate")
-    q_vec = jnp.asarray([30.0, 80.0])
-    it_vec = jnp.asarray([9, 3])
+    q_vec = jnp.asarray(q_pair)
+    it_vec = jnp.asarray(it_pair)
     kw = dict(key=jax.random.PRNGKey(2), eta=0.0, final_exact=False,
               traced_budget=4)
     mixed = np.asarray(sampler.sample(params, y32, quality=q_vec,
