@@ -18,9 +18,11 @@ loops). This module is that idea done right for XLA:
   * per-sample quality (a [B] vector) — fully batched, jittable, vmappable.
 
 The surrogate is an *approximation* of the real bitstream codecs (no entropy
-coding, no adaptive block sizes/loop filters for WebP/AVIF). Its contract is
-calibrated per codec so that PSNR(surrogate(x,q), codec(x,q)) stays small and
-monotone in q; exact-parity evaluation goes through `consistency_mode='callback'`.
+coding or adaptive block sizes; WebP/AVIF's in-loop deblocking is modeled by
+the calibrated `_deblock` filter rather than reproduced bit-exactly). Its
+contract is calibrated per codec so that PSNR(surrogate(x,q), codec(x,q))
+stays small and monotone in q; exact-parity evaluation goes through
+`consistency_mode='callback'` / 'host_loop'.
 """
 
 from __future__ import annotations
@@ -218,6 +220,64 @@ ste_round.defvjp(_ste_fwd, _ste_bwd)
 
 
 # ---------------------------------------------------------------------------
+# In-loop deblocking (WebP/AVIF)
+# ---------------------------------------------------------------------------
+
+
+def _deblock(chan: jnp.ndarray, b: int, strength: jnp.ndarray,
+             thresh: jnp.ndarray = 8.0) -> jnp.ndarray:
+    """One pass of a VP8/AV1-style in-loop deblocking approximation.
+
+    The real WebP/AVIF decoders run a loop filter after dequantization that
+    smooths pixels across transform-block boundaries, with strength rising as
+    quality falls; the quantize-only surrogate therefore shows sharper block
+    edges than the real codecs, and that mismatch was the leading suspect for
+    the measured AVIF mid-quality host-vs-surrogate restoration gap
+    (docs/PARITY.md, VERDICT round 3 #4). Model: at every b-aligned boundary,
+    pull the two pixels each side toward the boundary average by
+    (strength/2, strength/4), gated by g = T^2/(T^2+d^2) so genuine image
+    edges (large inter-block step d) pass through — the differentiable
+    analogue of the codecs' filter-threshold test. Pure strided slicing and
+    elementwise math: negligible next to the DCT GEMMs, fully batched, and
+    smooth in both inputs and `strength` (calibrated per quality).
+
+    Args:
+      chan: [B, H, W] channel in 0-255-scale units (any fixed offset).
+      b: transform block size.
+      strength: per-sample [B] filter strength in [0, 1].
+      thresh: edge-preservation scale T in pixel-value units (scalar or
+        per-sample [B]) — larger T filters across bigger block steps, the
+        analogue of the codecs' quality-dependent filter limits; calibrated
+        per quality alongside `strength`.
+    """
+    s = jnp.asarray(strength, jnp.float32)[:, None, None]
+    t2 = jnp.square(
+        jnp.broadcast_to(jnp.asarray(thresh, jnp.float32), (chan.shape[0],))
+    )[:, None, None]
+
+    def axis_pass(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+        x = jnp.moveaxis(x, axis, -1)
+        n = x.shape[-1] // b
+        if n < 2:
+            return jnp.moveaxis(x, -1, axis)
+        length = n * b
+        p1 = x[..., b - 2::b][..., : n - 1]
+        p0 = x[..., b - 1::b][..., : n - 1]
+        q0 = x[..., b::b]
+        q1 = x[..., b + 1::b]
+        d = q0 - p0
+        g = t2 / (t2 + d * d)
+        adj = s * g * d
+        x = x.at[..., b - 2:length - 2:b].add(0.25 * adj)
+        x = x.at[..., b - 1:length - 1:b].add(0.5 * adj)
+        x = x.at[..., b:length:b].add(-0.5 * adj)
+        x = x.at[..., b + 1:length:b].add(-0.25 * adj)
+        return jnp.moveaxis(x, -1, axis)
+
+    return axis_pass(axis_pass(chan, 2), 1)
+
+
+# ---------------------------------------------------------------------------
 # Chroma subsampling
 # ---------------------------------------------------------------------------
 
@@ -243,8 +303,8 @@ _CALIBRATION = {
              [1.0108, 1.0387, 1.1612, 1.5343, 1.8622, 0.9875, 0.9984, 1.0158,
               1.03, 1.0391, 1.0515, 1.0816, 1.1182, 1.246, 2.4953]),
     "webp": ([1, 5, 10, 20, 30, 40, 50, 60, 70, 75, 80, 85, 90, 95, 100],
-             [0.6374, 0.6594, 1.1149, 1.72, 2.0878, 2.3262, 2.5105, 2.7855,
-              3.2773, 3.6123, 3.6935, 4.0004, 4.7379, 7.6109, 17.7268]),
+             [0.7292, 0.7568, 1.2344, 1.9233, 2.289, 2.562, 2.7477, 2.9979,
+              3.5427, 3.8976, 3.9432, 4.1925, 4.7712, 7.8653, 17.6325]),
     # AVIF needs the dense grid: the true multiplier drops sharply between
     # q50 (0.693) and q60 (0.378) — AOM switches rate-control behavior — and
     # linear interpolation over the old sparse knots {50,70,85,95} was ~1 dB
@@ -252,8 +312,35 @@ _CALIBRATION = {
     # q90 restoration regression (the real codec sits at ~44 dB there, so the
     # solver's consistency projections inherited the full mismatch).
     "avif": ([1, 5, 10, 20, 30, 40, 50, 60, 70, 75, 80, 85, 90, 95, 100],
-             [0.4777, 0.4404, 0.6389, 0.7748, 0.7885, 0.737, 0.6934, 0.3775,
-              0.3884, 0.3991, 0.4265, 0.4459, 0.5384, 0.7974, 2.0384]),
+             [0.5248, 0.4866, 0.7057, 0.8411, 0.8425, 0.7761, 0.7214, 0.3868,
+              0.3944, 0.4037, 0.431, 0.4488, 0.5409, 0.7992, 2.0384]),
+}
+
+
+# Per-codec quality-indexed deblocking (strength, edge-threshold) pairs for
+# `_deblock`, fitted by scripts/calibrate_surrogate.py to minimize the
+# surrogate's direct MSE against the real codec output (not MSE-vs-clean —
+# the loop filter barely changes distortion but visibly changes WHERE the
+# error lives, which is what the solver's consistency projection feels).
+# JPEG has no in-loop filter, so its strengths are identically zero.
+# Fitted 2026-08-21 (scripts/calibrate_surrogate.py, 32 synthetic 64^2
+# images, 2-round coordinate descent over s x T x mult). Direct
+# surrogate-vs-real PSNR gains: WebP ~+0.5 dB at every quality, AVIF
+# +0.3 dB at q<=50 (high-q AVIF barely filters — matching AOM, whose loop
+# filter strength falls off with qindex). The fitted threshold T falls with
+# quality exactly like the real codecs' filter limits.
+_DEBLOCK = {
+    "jpeg": ([1, 100], [0.0, 0.0], [8.0, 8.0]),
+    "webp": ([1, 5, 10, 20, 30, 40, 50, 60, 70, 75, 80, 85, 90, 95, 100],
+             [1.0, 0.8, 1.0, 0.8, 1.0, 0.8, 0.8, 0.8, 0.8, 0.8, 0.6, 0.6,
+              0.8, 0.6, 0.6],
+             [32.0, 32.0, 24.0, 24.0, 16.0, 16.0, 16.0, 16.0, 12.0, 12.0,
+              12.0, 12.0, 8.0, 8.0, 8.0]),
+    "avif": ([1, 5, 10, 20, 30, 40, 50, 60, 70, 75, 80, 85, 90, 95, 100],
+             [1.0, 1.0, 1.0, 0.8, 1.0, 0.8, 0.8, 0.45, 0.3, 0.3, 0.15, 0.15,
+              0.15, 0.15, 0.0],
+             [32.0, 32.0, 32.0, 32.0, 16.0, 16.0, 12.0, 6.0, 6.0, 6.0, 8.0,
+              6.0, 4.0, 4.0, 4.0]),
 }
 
 
@@ -294,7 +381,11 @@ def codec_surrogate(
     q_grid, m_grid = _CALIBRATION[codec]
     mult = jnp.interp(q_vec, jnp.asarray(q_grid, jnp.float32),
                       jnp.asarray(m_grid, jnp.float32))
-    return _surrogate_raw(x, q_vec, codec, subsample, mult)
+    dq_grid, s_grid, t_grid = _DEBLOCK[codec]
+    dq = jnp.asarray(dq_grid, jnp.float32)
+    deblock = jnp.interp(q_vec, dq, jnp.asarray(s_grid, jnp.float32))
+    deblock_t = jnp.interp(q_vec, dq, jnp.asarray(t_grid, jnp.float32))
+    return _surrogate_raw(x, q_vec, codec, subsample, mult, deblock, deblock_t)
 
 
 @functools.partial(jax.jit, static_argnames=("codec", "subsample"))
@@ -304,8 +395,12 @@ def _surrogate_raw(
     codec: str,
     subsample: bool,
     strength_mult: jnp.ndarray,
+    deblock: jnp.ndarray = 0.0,
+    deblock_thresh: jnp.ndarray = 8.0,
 ) -> jnp.ndarray:
-    """Uncalibrated surrogate core; strength_mult scales the quant tables."""
+    """Uncalibrated surrogate core; strength_mult scales the quant tables,
+    deblock / deblock_thresh (scalar or [B]) set the in-loop filter strength
+    (0 = off) and its edge-preservation threshold."""
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
     b = _BLOCK[codec]
@@ -346,6 +441,16 @@ def _surrogate_raw(
     y_q = quantize_channel(y, qt_l)
     cb_q = quantize_channel(cb, qt_c)
     cr_q = quantize_channel(cr, qt_c)
+
+    deblock = jnp.broadcast_to(jnp.asarray(deblock, jnp.float32), (bsz,))
+    deblock_thresh = jnp.broadcast_to(
+        jnp.asarray(deblock_thresh, jnp.float32), (bsz,))
+    # JPEG has no in-loop filter (its _DEBLOCK table is zero); for WebP/AVIF
+    # the filter runs inside the codec's reconstruction loop, i.e. after
+    # dequantization and before the color transform — same place here.
+    y_q = _deblock(y_q, b, deblock, deblock_thresh)
+    cb_q = _deblock(cb_q, b, deblock, deblock_thresh)
+    cr_q = _deblock(cr_q, b, deblock, deblock_thresh)
 
     ycc_q = jnp.stack([y_q + 128.0, cb_q, cr_q], axis=-1) / 255.0
     rgb = ycbcr_to_rgb(ycc_q)

@@ -77,34 +77,64 @@ def table_for(codec: str, summary: dict, label: str) -> list[str]:
         solver = f", stride {summary['stride']}"
     if summary.get("solver") != "auto" and summary.get("encoder_reuse", 1) > 1:
         solver += f", enc-reuse {summary['encoder_reuse']}"
+    results = summary["results"]
+    # FID columns join the reference-comparison table ONLY when ours is the
+    # same measurement (InceptionV3 features). A random_conv Fréchet distance
+    # next to a published Inception FID invites reading 0.33→0.07 against
+    # 113→97 (VERDICT round 3 weak #7) — proxy numbers go to their own
+    # trend table below instead.
+    fid_rows = {q: m for q, m in results.items()
+                if m.get("compressed_fid") is not None
+                and m.get("restored_fid") is not None}
+    fid_kinds = {m.get("fid_kind", "?") for m in fid_rows.values()}
+    canonical_fid = bool(fid_rows) and fid_kinds == {"inception_v3"}
+    fid_head = " ours ΔFID | ref ΔFID |" if canonical_fid else ""
     lines = [
         f"### {codec.upper()} — {label} "
-        f"({summary.get('num_images', '?')} images, steps={summary.get('steps')}"
+        f"(n={summary.get('num_images', '?')} images, steps={summary.get('steps')}"
         f"{solver}, consistency={summary.get('consistency_mode')})",
         "",
-        "| Q | ours PSNR comp→rest (Δ) | ref ΔPSNR | ours ΔSSIM | ref ΔSSIM | ours ΔLPIPS† | ref ΔLPIPS | ours ΔFID‡ | ref ΔFID |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| Q | ours PSNR comp→rest (Δ ± 95% CI) | ref ΔPSNR | ours ΔSSIM "
+        f"| ref ΔSSIM | ours ΔLPIPS† | ref ΔLPIPS |{fid_head}",
+        "|---|---|---|---|---|---|---|" + ("---|---|" if canonical_fid else ""),
     ]
-    results = summary["results"]
     for q_str, m in sorted(results.items(), key=lambda kv: int(kv[0])):
         q = int(q_str)
         dpsnr = m["restored_psnr"] - m["compressed_psnr"]
+        ci = m.get("delta_psnr_ci95")
+        ci_s = f" ± {ci:.2f}" if isinstance(ci, float) else ""
         dssim = m["restored_ssim"] - m["compressed_ssim"]
         # Reference tables report LPIPS *improvement* (compressed - restored).
         dlpips = m["compressed_lpips"] - m["restored_lpips"]
-        # Same convention for FID: positive = restored closer to originals.
-        dfid = None
-        if m.get("compressed_fid") is not None and m.get("restored_fid") is not None:
-            dfid = m["compressed_fid"] - m["restored_fid"]
         r = ref.get(q)
-        lines.append(
+        row = (
             f"| {q} | {m['compressed_psnr']:.2f}→{m['restored_psnr']:.2f} "
-            f"({fmt_delta(dpsnr)}) | {fmt_delta(r[0]) if r else '—'} "
+            f"({fmt_delta(dpsnr)}{ci_s}) | {fmt_delta(r[0]) if r else '—'} "
             f"| {fmt_delta(dssim, 4)} | {fmt_delta(r[1], 4) if r else '—'} "
-            f"| {fmt_delta(dlpips, 4)} | {fmt_delta(r[2], 4) if r else '—'} "
-            f"| {fmt_delta(dfid)} | {fmt_delta(r[3]) if r else '—'} |"
+            f"| {fmt_delta(dlpips, 4)} | {fmt_delta(r[2], 4) if r else '—'} |"
         )
+        if canonical_fid:
+            # reference convention: positive = restored closer to originals
+            dfid = m["compressed_fid"] - m["restored_fid"]
+            row += f" {fmt_delta(dfid)} | {fmt_delta(r[3]) if r else '—'} |"
+        lines.append(row)
     lines.append("")
+    if fid_rows and not canonical_fid:
+        kind = "/".join(sorted(fid_kinds))
+        lines += [
+            f"Proxy Fréchet trend ({kind} features — NOT comparable to the "
+            "reference's Inception FID; lower = restored set closer to the "
+            "originals under the proxy features):",
+            "",
+            "| Q | proxy Fréchet comp→rest |",
+            "|---|---|",
+        ]
+        for q_str, m in sorted(fid_rows.items(), key=lambda kv: int(kv[0])):
+            lines.append(
+                f"| {q_str} | {m['compressed_fid']:.4f}→"
+                f"{m['restored_fid']:.4f} |"
+            )
+        lines.append("")
     return lines
 
 

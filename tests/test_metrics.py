@@ -104,8 +104,13 @@ def test_eval_harness_end_to_end(tmp_path):
     r10 = summary["results"]["10"]
     for k in ["compressed_psnr", "restored_psnr", "compressed_ssim", "restored_ssim",
               "compressed_lpips", "restored_lpips", "compressed_l2", "restored_l2",
-              "compressed_fid", "restored_fid", "images_per_sec"]:
+              "compressed_fid", "restored_fid", "images_per_sec",
+              "n", "delta_psnr", "delta_psnr_ci95", "delta_ssim_ci95"]:
         assert k in r10, k
+    assert r10["n"] == 8
+    assert np.isfinite(r10["delta_psnr_ci95"]) and r10["delta_psnr_ci95"] > 0
+    assert abs(r10["delta_psnr"]
+               - (r10["restored_psnr"] - r10["compressed_psnr"])) < 1e-6
     # compressed metrics reflect real degradation ordering
     assert summary["results"]["10"]["compressed_psnr"] < summary["results"]["50"]["compressed_psnr"]
     assert (tmp_path / "metrics_summary.json").exists()
@@ -113,6 +118,7 @@ def test_eval_harness_end_to_end(tmp_path):
     assert (tmp_path / "metric_panels.png").exists()
     table = format_comparative_table(summary)
     assert "JPEG" in table and "PSNR" in table
+    assert "n=8" in table and "±" in table  # n + paired CI on the PSNR delta
     json.loads((tmp_path / "metrics_summary.json").read_text())
 
 

@@ -105,3 +105,48 @@ def test_surrogate_tracks_real_jpeg(small_images):
         mse_sur = np.mean((sur - small_images) ** 2) + 1e-8
         ratio = mse_sur / mse_real
         assert 0.1 < ratio < 10.0, f"q={q}: surrogate/real MSE ratio {ratio:.3f}"
+
+
+def test_deblock_identity_at_zero_strength(rng):
+    """_deblock with strength 0 is exactly the identity."""
+    from ddpm_image_restoration_tpu.codecs.surrogate import _deblock
+
+    x = jnp.asarray(rng.uniform(-128, 127, (2, 16, 16)).astype(np.float32))
+    out = _deblock(x, 4, jnp.zeros(2), jnp.full(2, 8.0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_deblock_smooths_block_edges_preserves_true_edges():
+    """The filter shrinks a small step at a block boundary but passes a large
+    (true-edge) step nearly untouched, and never touches block interiors."""
+    from ddpm_image_restoration_tpu.codecs.surrogate import _deblock
+
+    b = 4
+    x = np.zeros((2, 16, 16), np.float32)
+    x[0, :, 8:] = 6.0     # small blocking step at the 8|9 boundary (cols)
+    x[1, :, 8:] = 120.0   # large step = genuine image edge
+    out = np.asarray(_deblock(jnp.asarray(x), b, jnp.full(2, 1.0),
+                              jnp.full(2, 8.0)))
+    step_small = out[0, 0, 8] - out[0, 0, 7]
+    step_large = out[1, 0, 8] - out[1, 0, 7]
+    assert step_small < 6.0 * 0.6, step_small      # visibly smoothed
+    assert step_large > 120.0 * 0.9, step_large    # edge preserved
+    # interiors (>=2 px from any boundary) are untouched
+    np.testing.assert_array_equal(out[:, :, :2], x[:, :, :2])
+    # smoothing is monotone across the boundary (no ringing/overshoot)
+    assert out[0, 0, 6] <= out[0, 0, 7] <= out[0, 0, 8] <= out[0, 0, 9]
+
+
+def test_deblock_per_sample_strength_and_grad():
+    """Per-sample strengths act independently and the op is differentiable."""
+    from ddpm_image_restoration_tpu.codecs.surrogate import _deblock
+
+    x = np.zeros((2, 8, 8), np.float32)
+    x[:, :, 4:] = 6.0
+    s = jnp.asarray([0.0, 1.0])
+    out = np.asarray(_deblock(jnp.asarray(x), 4, s, jnp.full(2, 8.0)))
+    np.testing.assert_array_equal(out[0], x[0])          # lane 0: off
+    assert out[1, 0, 4] - out[1, 0, 3] < 6.0             # lane 1: filtered
+    g = jax.grad(lambda v: _deblock(v, 4, s, jnp.full(2, 8.0)).sum())(
+        jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
