@@ -180,9 +180,20 @@ def evaluate_restoration(
         for i in range(0, len(images), batch_size):
             x0 = images[i : i + batch_size]
             y = compress_batch(x0, preset.name, quality)
+            # Pad a final partial batch up to batch_size (repeating the last
+            # image) so the sampler sees ONE batch shape: a second shape
+            # would be a second full XLA compile — ~25 min through the
+            # tunnel for the traced program, for 6 leftover images.
+            n_valid = len(x0)
+            if n_valid < batch_size:
+                pad = np.repeat(y[-1:], batch_size - n_valid, axis=0)
+                y_in = np.concatenate([y, pad])
+            else:
+                y_in = y
             key, sub = jax.random.split(key)
             restored = np.asarray(
-                sample_ensemble(sampler, wrapped, jnp.asarray(y), quality, init_t,
+                sample_ensemble(sampler, wrapped, jnp.asarray(y_in), quality,
+                                init_t,
                                 n_transforms=ensemble, key=sub,
                                 stride=stride, protect=protect,
                                 encoder_reuse=q_enc_reuse,
@@ -190,8 +201,8 @@ def evaluate_restoration(
                                 final_exact=final_exact,
                                 traced_budget=q_traced_budget,
                                 eta=q_eta, eta_b=eta_b)
-            )
-            n_restored += len(x0)
+            )[:n_valid]
+            n_restored += n_valid
 
             for tag, img in (("compressed", y), ("restored", restored)):
                 p, s, l2 = _per_image_metrics(jnp.asarray(img), jnp.asarray(x0))

@@ -95,8 +95,11 @@ def test_eval_harness_end_to_end(tmp_path):
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros(1)
     )
-    ds = SyntheticImageDataset(8, 16)
-    images = np.stack([ds[i] for i in range(8)])
+    # 10 images at batch 4 => a final PARTIAL batch of 2, exercising the
+    # pad-to-batch-size path (a second batch shape would mean a second
+    # multi-minute XLA compile on the real chip)
+    ds = SyntheticImageDataset(10, 16)
+    images = np.stack([ds[i] for i in range(10)])
     summary = evaluate_restoration(
         cfg, model, params["params"], images, batch_size=4, verbose=False
     )
@@ -107,7 +110,7 @@ def test_eval_harness_end_to_end(tmp_path):
               "compressed_fid", "restored_fid", "images_per_sec",
               "n", "delta_psnr", "delta_psnr_ci95", "delta_ssim_ci95"]:
         assert k in r10, k
-    assert r10["n"] == 8
+    assert r10["n"] == 10  # padded lanes must NOT leak into the metrics
     assert np.isfinite(r10["delta_psnr_ci95"]) and r10["delta_psnr_ci95"] > 0
     assert abs(r10["delta_psnr"]
                - (r10["restored_psnr"] - r10["compressed_psnr"])) < 1e-6
@@ -118,7 +121,7 @@ def test_eval_harness_end_to_end(tmp_path):
     assert (tmp_path / "metric_panels.png").exists()
     table = format_comparative_table(summary)
     assert "JPEG" in table and "PSNR" in table
-    assert "n=8" in table and "±" in table  # n + paired CI on the PSNR delta
+    assert "n=10" in table and "±" in table  # n + paired CI on the PSNR delta
     json.loads((tmp_path / "metrics_summary.json").read_text())
 
 
