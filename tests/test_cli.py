@@ -290,19 +290,23 @@ def test_serve_traced_budget_mixed_quality(tmp_path, capsys):
     assert len(list(out.glob("*_restored.png"))) == 2
 
 
-def test_serve_traced_requires_budget(tmp_path):
+def test_serve_traced_requires_budget(tmp_path, capsys):
+    """A misconfigured --traced server must die AT PARSE TIME (argparse
+    usage error, exit code 2), not after the first batch arrives."""
     from ddpm_image_restoration_tpu.cli.serve import main
 
     watch = tmp_path / "in"
     watch.mkdir()
     Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
         watch / "a.jpg", quality=50)
-    with pytest.raises(SystemExit, match="--traced needs"):
+    with pytest.raises(SystemExit) as exc:
         main([
             "--watch", str(watch), "--output-dir", str(tmp_path / "out"),
             "--codec", "jpeg", *TINY_FLAGS, "--random-init",
             "--steps", "8", "--batch-size", "1", "--once", "--traced",
         ])
+    assert exc.value.code == 2  # argparse usage error, i.e. pre-startup
+    assert "--traced needs --solver auto or --max-evals" in capsys.readouterr().err
 
 
 @pytest.mark.slow
