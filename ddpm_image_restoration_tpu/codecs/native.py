@@ -46,9 +46,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.codec_surrogate_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        if lib.codec_engine_version() < 3:
+            raise RuntimeError("stale libcodec_engine.so (pre-deblock ABI)")
         _LIB = lib
     except Exception as e:  # no compiler / build failure: soft-fail to jnp path
         warnings.warn(f"native codec engine unavailable ({e}); using jnp surrogate")
@@ -74,11 +77,21 @@ def codec_surrogate_native(
     assert c == 3, "NHWC RGB expected"
     q = np.broadcast_to(np.asarray(quality, np.int32).reshape(-1), (b,))
     q = np.ascontiguousarray(q, dtype=np.int32)
-    from ddpm_image_restoration_tpu.codecs.surrogate import _CALIBRATION
+    from ddpm_image_restoration_tpu.codecs.surrogate import (
+        _CALIBRATION,
+        _DEBLOCK,
+    )
 
     q_grid, m_grid = _CALIBRATION[codec]
     mult = np.ascontiguousarray(
         np.interp(q.astype(np.float64), q_grid, m_grid), dtype=np.float32
+    )
+    dq_grid, s_grid, t_grid = _DEBLOCK[codec]
+    dbs = np.ascontiguousarray(
+        np.interp(q.astype(np.float64), dq_grid, s_grid), dtype=np.float32
+    )
+    dbt = np.ascontiguousarray(
+        np.interp(q.astype(np.float64), dq_grid, t_grid), dtype=np.float32
     )
     if lib is None:
         import jax.numpy as jnp
@@ -95,6 +108,8 @@ def codec_surrogate_native(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         mult.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dbs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dbt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         b, h, w, _CODEC_IDS[codec], int(subsample), n_threads,
     )
     if rc != 0:

@@ -12,10 +12,13 @@
 // ABI (ctypes):
 //   int codec_surrogate_batch(const float* x, float* out, const int* quality,
 //                             const float* strength_mult,
+//                             const float* deblock_s, const float* deblock_t,
 //                             int b, int h, int w, int codec,
 //                             int subsample420, int n_threads);
 //     x/out: float32 [B,H,W,3] NHWC in [-1,1]; quality: int32 [B];
 //     strength_mult: float32 [B] calibration multipliers (1.0 = uncalibrated);
+//     deblock_s/deblock_t: float32 [B] in-loop deblocking strength/threshold
+//       per sample (nullptr or s=0 disables — JPEG has no loop filter);
 //     codec: 0=jpeg(8x8 Annex-K tables) 1=webp(4x4 flat-ish) 2=avif(8x8 smooth)
 //     returns 0 on success.
 //
@@ -136,8 +139,44 @@ void quantise_plane(float* plane, int h, int w, const Tables& tb,
   }
 }
 
+// In-loop deblocking approximation, bit-matching surrogate.py::_deblock:
+// at every b-aligned boundary, pull the two pixels each side toward the
+// boundary average by (s/2, s/4), gated by g = T^2/(T^2 + d^2) so genuine
+// edges pass through. Column boundaries first, then row boundaries — the
+// same pass order as the jnp twin (axis 2 then axis 1); within a pass all
+// four taps are read before any is written.
+void deblock_plane(float* p, int h, int w, int b, float s, float t) {
+  if (s <= 0.f) return;
+  const float t2 = t * t;
+  for (int i = 0; i < h; ++i) {  // column (vertical) boundaries
+    float* row = p + static_cast<size_t>(i) * w;
+    for (int j = b; j <= w - b; j += b) {
+      float p1 = row[j - 2], p0 = row[j - 1], q0 = row[j], q1 = row[j + 1];
+      float d = q0 - p0;
+      float adj = s * (t2 / (t2 + d * d)) * d;
+      row[j - 2] = p1 + 0.25f * adj;
+      row[j - 1] = p0 + 0.5f * adj;
+      row[j] = q0 - 0.5f * adj;
+      row[j + 1] = q1 - 0.25f * adj;
+    }
+  }
+  for (int i = b; i <= h - b; i += b) {  // row (horizontal) boundaries
+    for (int j = 0; j < w; ++j) {
+      float p1 = p[(i - 2) * w + j], p0 = p[(i - 1) * w + j];
+      float q0 = p[i * w + j], q1 = p[(i + 1) * w + j];
+      float d = q0 - p0;
+      float adj = s * (t2 / (t2 + d * d)) * d;
+      p[(i - 2) * w + j] = p1 + 0.25f * adj;
+      p[(i - 1) * w + j] = p0 + 0.5f * adj;
+      p[i * w + j] = q0 - 0.5f * adj;
+      p[(i + 1) * w + j] = q1 - 0.25f * adj;
+    }
+  }
+}
+
 void process_image(const float* x, float* out, int h, int w, int quality,
-                   float strength_mult, const Tables& tb, bool subsample) {
+                   float strength_mult, float deblock_s, float deblock_t,
+                   const Tables& tb, bool subsample) {
   const int n = h * w;
   std::vector<float> y(n), cb(n), cr(n);
   // RGB [-1,1] -> YCbCr in [0,255] gauge (Y centered at 0 for the DCT)
@@ -181,6 +220,9 @@ void process_image(const float* x, float* out, int h, int w, int quality,
   quantise_plane(y.data(), h, w, tb, ql.data());
   quantise_plane(cb.data(), h, w, tb, qc.data());
   quantise_plane(cr.data(), h, w, tb, qc.data());
+  deblock_plane(y.data(), h, w, tb.block, deblock_s, deblock_t);
+  deblock_plane(cb.data(), h, w, tb.block, deblock_s, deblock_t);
+  deblock_plane(cr.data(), h, w, tb.block, deblock_s, deblock_t);
   // back to RGB [-1,1]
   for (int i = 0; i < n; ++i) {
     float yy = y[i] + 128.f;
@@ -197,7 +239,9 @@ void process_image(const float* x, float* out, int h, int w, int quality,
 
 extern "C" int codec_surrogate_batch(const float* x, float* out,
                                      const int32_t* quality,
-                                     const float* strength_mult, int b, int h,
+                                     const float* strength_mult,
+                                     const float* deblock_s,
+                                     const float* deblock_t, int b, int h,
                                      int w, int codec, int subsample420,
                                      int n_threads) {
   if (b <= 0 || h <= 0 || w <= 0) return 1;
@@ -214,12 +258,13 @@ extern "C" int codec_surrogate_batch(const float* x, float* out,
     workers.emplace_back([&, t]() {
       for (int i = t; i < b; i += n_threads)
         process_image(x + i * stride, out + i * stride, h, w, quality[i],
-                      strength_mult ? strength_mult[i] : 1.0f, tb,
-                      subsample420 != 0);
+                      strength_mult ? strength_mult[i] : 1.0f,
+                      deblock_s ? deblock_s[i] : 0.0f,
+                      deblock_t ? deblock_t[i] : 8.0f, tb, subsample420 != 0);
     });
   }
   for (auto& th : workers) th.join();
   return 0;
 }
 
-extern "C" int codec_engine_version() { return 2; }
+extern "C" int codec_engine_version() { return 3; }
