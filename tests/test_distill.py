@@ -97,17 +97,20 @@ def test_distill_end_to_end(tmp_path):
     assert np.isfinite(history["loss"][-1])
     assert np.isfinite(history["val_psnr"][-1])
 
-    # the student checkpoint round-trips through the standard manager
+    # the student checkpoint round-trips through the standard manager; the
+    # LATEST checkpoint must equal the in-memory end-of-run state (best may
+    # legitimately be an earlier epoch when val dips late)
     model = build_model(cfg_s.codec, cfg_s.model)
     target = create_train_state(model, cfg_s, jax.random.PRNGKey(0))
     mgr = CheckpointManager(str(student_dir))
-    restored = mgr.restore_best(target) or mgr.restore_latest(target)
+    restored = mgr.restore_latest(target)
     assert restored is not None
     st, meta = restored
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(st.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+    assert mgr.restore_best(target) is not None
 
     # distill resumes from its own checkpoint
     state2, history2 = distill_model(
