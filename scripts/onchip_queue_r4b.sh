@@ -52,4 +52,13 @@ run webp_real_ref 40 2700 python -m ddpm_image_restoration_tpu.cli.evaluate \
     --use-ema --checkpoint-dir artifacts/r4_webp_real \
     --output-dir "$OUT/webp_real_ref" || true
 
+# Deployment-safety measurement: the quality-gated protection blend on the
+# real split (r1-validated product flag). Cannot flip low-q sign but bounds
+# the high-quality damage toward zero.
+done_sum webp_real_protect || \
+run webp_real_protect 35 2400 python -m ddpm_image_restoration_tpu.cli.evaluate \
+    --real -1 --attn-max-res 32 --codec webp --solver auto --traced --no-fid \
+    --protect 70 100 --use-ema --checkpoint-dir artifacts/r4_webp_real \
+    --output-dir "$OUT/webp_real_protect" || true
+
 echo "queue_r4b done -> $OUT [$(date +%H:%M:%S)]"
