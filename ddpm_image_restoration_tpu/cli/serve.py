@@ -212,24 +212,29 @@ def main(argv=None):
         return qualities, bucket, init_timestep_for_quality(bucket, args.steps, preset)
 
     def solver_for(init_t: int, bucket_quality: float) -> tuple:
-        """(stride, encoder_reuse, eta) for this batch. '--solver auto'
-        consults the production policy at the batch's quality bucket;
-        otherwise the explicit flags (--max-evals deriving the stride when
-        set). eta None = the codec preset's reference value (0.85/0.15)."""
+        """(stride, encoder_reuse, eta, protect) for this batch. '--solver
+        auto' consults the production policy at the batch's quality bucket
+        (including the per-codec near-lossless protection blend); otherwise
+        the explicit flags (--max-evals deriving the stride when set). An
+        explicit --protect always wins. eta None = the codec preset's
+        reference value (0.85/0.15)."""
+        cli_protect = tuple(args.protect) if args.protect else None
         if args.solver == "auto":
             from ddpm_image_restoration_tpu.diffusion.policy import (
                 production_solver_config,
             )
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
-            pc = production_solver_config(bucket_quality)
+            pc = production_solver_config(bucket_quality, codec)
             return (student_stride(init_t, pc["max_evals"]),
-                    pc["encoder_reuse"], pc.get("eta"))
+                    pc["encoder_reuse"], pc.get("eta"),
+                    cli_protect or pc.get("protect"))
         if args.max_evals:
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
-            return student_stride(init_t, args.max_evals), args.encoder_reuse, None
-        return args.stride, args.encoder_reuse, None
+            return (student_stride(init_t, args.max_evals),
+                    args.encoder_reuse, None, cli_protect)
+        return args.stride, args.encoder_reuse, None, cli_protect
 
     params = {"params": serve_params}
 
@@ -317,13 +322,13 @@ def main(argv=None):
             qualities, bucket, it = quality_for(
                 [os.path.join(args.watch, f) for f in batch_files], sampler.preset
             )
-            b_stride, b_enc, b_eta = solver_for(it, bucket)
+            b_stride, b_enc, b_eta, b_protect = solver_for(it, bucket)
 
             def restore_fixed(batch: np.ndarray, q: float) -> np.ndarray:
                 return np.asarray(
                     sampler.sample(params, jnp.asarray(batch), q,
                                    it, key=sub, stride=b_stride,
-                                   protect=tuple(args.protect) if args.protect else None,
+                                   protect=b_protect,
                                    encoder_reuse=b_enc, eta=b_eta,
                                    decoder_reuse_depth=args.decoder_reuse_depth)
                 )
@@ -369,7 +374,7 @@ def main(argv=None):
             q = jnp.asarray(
                 qualities + [float(bucket)] * (args.batch_size - n), jnp.float32
             )
-        b_stride, b_enc, b_eta = solver_for(it, bucket)
+        b_stride, b_enc, b_eta, b_protect = solver_for(it, bucket)
         it_arg, traced_budget = it, 0
         if args.traced:
             if args.solver == "auto":
@@ -393,7 +398,7 @@ def main(argv=None):
             )
         out = sampler.sample(params, place(imgs), q, it_arg,
                              key=sub, stride=b_stride,
-                             protect=tuple(args.protect) if args.protect else None,
+                             protect=b_protect,
                              encoder_reuse=b_enc, eta=b_eta,
                              traced_budget=traced_budget,
                              decoder_reuse_depth=args.decoder_reuse_depth)

@@ -61,7 +61,22 @@ PRODUCTION_ENCODER_REUSE = 2
 PRODUCTION_ETA = 0.0
 
 
-def production_solver_config(quality) -> Dict[str, float]:
+# Per-codec near-lossless protection (diffusion/ddrm.py
+# quality_gated_blend): full restoration at q <= lo, untouched observation
+# at q >= hi. AVIF is the one codec whose high-quality tier is effectively
+# lossless on this model's input statistics (q90 compresses to ~45 dB,
+# ~9 dB above WebP q90) — every accelerated config ever measured LOSES
+# PSNR there (r1 -1.45, r2 -1.17, r4 unified -1.10) because there is
+# nothing left to restore and any model rewrite is damage. The ramp keeps
+# the strongly-positive q <= 50 gains untouched and fades restoration out
+# across the q50->q90 knee measured in results/r{1,2,4} (q50 +0.99..+1.24,
+# q70 +0.04, q90 negative everywhere).
+PRODUCTION_PROTECT = {
+    "avif": (60.0, 90.0),
+}
+
+
+def production_solver_config(quality, codec: str = None) -> Dict[str, object]:
     """Solver kwargs for a production restore at `quality` (scalar; serving
     buckets per-file estimates first, cli/serve.py quality_for).
 
@@ -69,11 +84,17 @@ def production_solver_config(quality) -> Dict[str, float]:
     already quality-adaptive through init_t, and the deterministic solver
     removed the one regime (few steps, high q) where the fixed budget lost
     quality. The signature keeps `quality` so serving call sites stay
-    stable if a future retune goes per-quality again.
+    stable if a future retune goes per-quality again. `codec` adds the
+    per-codec protection blend (None = no protection — callers that don't
+    know their codec keep the old behaviour).
     """
     del quality
-    return {
+    cfg: Dict[str, object] = {
         "max_evals": PRODUCTION_MAX_EVALS,
         "encoder_reuse": PRODUCTION_ENCODER_REUSE,
         "eta": PRODUCTION_ETA,
     }
+    protect = PRODUCTION_PROTECT.get(codec)
+    if protect is not None:
+        cfg["protect"] = protect
+    return cfg

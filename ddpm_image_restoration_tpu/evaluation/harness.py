@@ -151,16 +151,19 @@ def evaluate_restoration(
             quality, cfg.steps, preset
         )
         q_max_evals, q_enc_reuse, q_eta = max_evals, encoder_reuse, eta
+        q_protect = protect
         if solver == "auto":
             from ddpm_image_restoration_tpu.diffusion.policy import (
                 production_solver_config,
             )
 
-            pc = production_solver_config(quality)
+            pc = production_solver_config(quality, preset.name)
             q_max_evals = pc["max_evals"]
             q_enc_reuse = pc["encoder_reuse"]
             if eta is None:  # an explicit --eta still overrides the policy
                 q_eta = pc.get("eta")
+            if protect is None:  # explicit --protect overrides the policy
+                q_protect = pc.get("protect")
         if q_max_evals:  # budgeted solver: stride derived per quality
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
@@ -195,7 +198,7 @@ def evaluate_restoration(
                 sample_ensemble(sampler, wrapped, jnp.asarray(y_in), quality,
                                 init_t,
                                 n_transforms=ensemble, key=sub,
-                                stride=stride, protect=protect,
+                                stride=stride, protect=q_protect,
                                 encoder_reuse=q_enc_reuse,
                                 decoder_reuse_depth=decoder_reuse_depth,
                                 final_exact=final_exact,
@@ -250,6 +253,8 @@ def evaluate_restoration(
         row["solver_encoder_reuse"] = int(q_enc_reuse)
         row["solver_init_t"] = int(init_t)
         row["solver_eta"] = None if q_eta is None else float(q_eta)
+        row["solver_protect"] = (None if q_protect is None
+                                 else [float(v) for v in q_protect])
         results[str(quality)] = row
         if verbose:
             print(

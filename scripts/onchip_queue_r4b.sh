@@ -52,6 +52,18 @@ run webp_real_ref 40 2700 python -m ddpm_image_restoration_tpu.cli.evaluate \
     --use-ema --checkpoint-dir artifacts/r4_webp_real \
     --output-dir "$OUT/webp_real_ref" || true
 
+# AVIF production table under the amended policy (per-codec protection
+# ramp, diffusion/policy.py PRODUCTION_PROTECT): the near-lossless q90
+# tier — negative in EVERY accelerated config ever measured — fades to a
+# no-op while q<=50 keeps its full +0.8..+1.0 gains.
+done_sum all_avif_p || \
+run all_avif_p 35 2400 python -m ddpm_image_restoration_tpu.cli.evaluate \
+    --synthetic 64 --synthetic-seed 99 --attn-max-res 32 --codec avif \
+    --model-codec all --solver auto --traced --no-fid \
+    --qualities 1 30 50 70 90 \
+    --params-npz artifacts_release/all_teacher_r3.npz \
+    --output-dir "$OUT/all_avif_p" || true
+
 # Deployment-safety measurement: the quality-gated protection blend on the
 # real split (r1-validated product flag). Cannot flip low-q sign but bounds
 # the high-quality damage toward zero.

@@ -638,3 +638,28 @@ def test_traced_budget_one_program_many_qualities(y32):
         DDRMSampler(_ZeroModel(), get_preset("webp"),
                     consistency_mode="host_loop").sample(
             None, y32, quality=10, steps=5, traced_budget=4)
+
+
+def test_production_policy_codec_protection():
+    """AVIF's near-lossless tier gets the protection ramp (every measured
+    accelerated config loses PSNR at avif q90: r1 -1.45, r2 -1.17, r4
+    unified -1.10 — compressed is already ~45 dB); other codecs don't,
+    and callers that don't pass a codec keep the old behaviour."""
+    from ddpm_image_restoration_tpu.diffusion.ddrm import quality_gated_blend
+    from ddpm_image_restoration_tpu.diffusion.policy import (
+        production_solver_config,
+    )
+
+    assert "protect" not in production_solver_config(90)
+    assert "protect" not in production_solver_config(90, "webp")
+    assert "protect" not in production_solver_config(90, "jpeg")
+    lo, hi = production_solver_config(90, "avif")["protect"]
+    assert lo >= 50 and hi <= 100
+    # the ramp keeps the strongly-positive q<=50 regime fully restored and
+    # turns q>=hi into a no-op
+    y = jnp.zeros((1, 8, 8, 3))
+    restored = jnp.ones((1, 8, 8, 3))
+    np.testing.assert_allclose(
+        quality_gated_blend(restored, y, 50.0, lo, hi), restored)
+    np.testing.assert_allclose(
+        quality_gated_blend(restored, y, hi, lo, hi), y)
