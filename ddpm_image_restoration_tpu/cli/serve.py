@@ -211,13 +211,19 @@ def main(argv=None):
                   flush=True)
         return qualities, bucket, init_timestep_for_quality(bucket, args.steps, preset)
 
-    def solver_for(init_t: int, bucket_quality: float) -> tuple:
+    def solver_for(init_t: int, bucket_quality: float, batch_codec: str) -> tuple:
         """(stride, encoder_reuse, eta, protect) for this batch. '--solver
         auto' consults the production policy at the batch's quality bucket
         (including the per-codec near-lossless protection blend); otherwise
         the explicit flags (--max-evals deriving the stride when set). An
         explicit --protect always wins. eta None = the codec preset's
-        reference value (0.85/0.15)."""
+        reference value (0.85/0.15).
+
+        `batch_codec` is the codec this batch is actually compressed with
+        (detected per-file under --codec auto) — NOT the CLI-level codec
+        string, which is the literal "auto" in that mode and would miss the
+        PRODUCTION_PROTECT lookup, serving near-lossless AVIF without the
+        protection blend (a measured ~-1.1 dB regression at q90)."""
         cli_protect = tuple(args.protect) if args.protect else None
         if args.solver == "auto":
             from ddpm_image_restoration_tpu.diffusion.policy import (
@@ -225,7 +231,7 @@ def main(argv=None):
             )
             from ddpm_image_restoration_tpu.train.distill import student_stride
 
-            pc = production_solver_config(bucket_quality, codec)
+            pc = production_solver_config(bucket_quality, batch_codec)
             return (student_stride(init_t, pc["max_evals"]),
                     pc["encoder_reuse"], pc.get("eta"),
                     cli_protect or pc.get("protect"))
@@ -322,7 +328,7 @@ def main(argv=None):
             qualities, bucket, it = quality_for(
                 [os.path.join(args.watch, f) for f in batch_files], sampler.preset
             )
-            b_stride, b_enc, b_eta, b_protect = solver_for(it, bucket)
+            b_stride, b_enc, b_eta, b_protect = solver_for(it, bucket, batch_codec)
 
             def restore_fixed(batch: np.ndarray, q: float) -> np.ndarray:
                 return np.asarray(
@@ -374,7 +380,7 @@ def main(argv=None):
             q = jnp.asarray(
                 qualities + [float(bucket)] * (args.batch_size - n), jnp.float32
             )
-        b_stride, b_enc, b_eta, b_protect = solver_for(it, bucket)
+        b_stride, b_enc, b_eta, b_protect = solver_for(it, bucket, batch_codec)
         it_arg, traced_budget = it, 0
         if args.traced:
             if args.solver == "auto":

@@ -77,6 +77,17 @@ def codec_surrogate_native(
     assert c == 3, "NHWC RGB expected"
     q = np.broadcast_to(np.asarray(quality, np.int32).reshape(-1), (b,))
     q = np.ascontiguousarray(q, dtype=np.int32)
+    if lib is None:
+        # jnp fallback re-derives the calibration/deblock interpolations
+        # internally — skip computing them here.
+        import jax.numpy as jnp
+
+        from ddpm_image_restoration_tpu.codecs.surrogate import codec_surrogate
+
+        return np.asarray(
+            codec_surrogate(jnp.asarray(x), jnp.asarray(q, jnp.float32),
+                            codec=codec, subsample=subsample)
+        )
     from ddpm_image_restoration_tpu.codecs.surrogate import (
         _CALIBRATION,
         _DEBLOCK,
@@ -93,15 +104,6 @@ def codec_surrogate_native(
     dbt = np.ascontiguousarray(
         np.interp(q.astype(np.float64), dq_grid, t_grid), dtype=np.float32
     )
-    if lib is None:
-        import jax.numpy as jnp
-
-        from ddpm_image_restoration_tpu.codecs.surrogate import codec_surrogate
-
-        return np.asarray(
-            codec_surrogate(jnp.asarray(x), jnp.asarray(q, jnp.float32),
-                            codec=codec, subsample=subsample)
-        )
     out = np.empty_like(x)
     rc = lib.codec_surrogate_batch(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

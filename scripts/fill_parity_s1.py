@@ -38,8 +38,8 @@ def main(argv=None) -> int:
             p = os.path.join(args.root, f"{codec}_{kind}_s1",
                              "metrics_summary.json")
             if not os.path.exists(p):
-                missing.append(p)
-                break
+                missing.append(p)  # keep scanning: report ALL missing files
+                continue
             with open(p) as f:
                 pair[kind] = json.load(f)
         if len(pair) < 2:
