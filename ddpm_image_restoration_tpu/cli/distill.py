@@ -72,7 +72,7 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="distill on N synthetic images instead of --data-dir")
     ap.add_argument("--synthetic-kind", default="waves",
-                    choices=["waves", "dead_leaves", "mixed"])
+                    choices=["waves", "dead_leaves", "natural", "mixed"])
     ap.add_argument("--ema-decay", type=float, default=0.0)
     ap.add_argument("--lr", type=float, default=0.0,
                     help="learning rate (0 = the codec preset's training "

@@ -32,7 +32,7 @@ def main(argv=None):
     ap.add_argument("--synthetic-seed", type=int, default=99,
                     help="synthetic eval images use a held-out seed by default")
     ap.add_argument("--synthetic-kind", default="waves",
-                    choices=["waves", "dead_leaves", "mixed"],
+                    choices=["waves", "dead_leaves", "natural", "mixed"],
                     help="synthetic generator (dead_leaves = natural-image-"
                          "statistics proxy: occluding power-law disks)")
     ap.add_argument("--real", type=int, default=0, metavar="N",
@@ -80,6 +80,13 @@ def main(argv=None):
                          "recomputation of the FINAL consistency projection "
                          "(on by default; off = pure-device output, inherits "
                          "the surrogate-vs-real mismatch at high qualities)")
+    ap.add_argument("--protect-adaptive", type=float, default=None,
+                    metavar="BETA",
+                    help="content-aware trust-region protection: cap the "
+                         "restoration residual's local RMS at BETA x the "
+                         "calibrated codec damage D(quality) "
+                         "(diffusion/ddrm.py residual_trust_blend); "
+                         "composes with --protect and the auto policy")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
                     help="quality-gated blend: full restoration at q<=LO, "
                     "untouched input at q>=HI (non-reference guard for "
@@ -180,6 +187,7 @@ def main(argv=None):
                          max_evals=args.max_evals,
                          final_exact=False if args.no_final_exact else None,
                          protect=tuple(args.protect) if args.protect else None,
+                         protect_adaptive=args.protect_adaptive,
                          eta=args.eta, eta_b=args.eta_b,
                          init_t_override=args.init_t,
                          phase_threshold=args.phase_threshold,

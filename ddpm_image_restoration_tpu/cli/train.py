@@ -27,7 +27,7 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="train on N synthetic images instead of --data-dir")
     ap.add_argument("--synthetic-kind", default="waves",
-                    choices=["waves", "dead_leaves", "mixed"],
+                    choices=["waves", "dead_leaves", "natural", "mixed"],
                     help="synthetic generator (dead_leaves = natural-image-"
                          "statistics proxy: occluding power-law disks)")
     ap.add_argument("--real", type=int, default=0, metavar="N",

@@ -99,10 +99,19 @@ class SyntheticImageDataset:
         natural-image-statistics model (scale-invariant power spectrum,
         sharp occlusion edges) — much closer to photographs than sinusoids
         for training codec-artifact restoration without a dataset on disk.
-      * ``mixed`` — alternates the two per index.
+      * ``natural`` — dead-leaves occlusion structure passed through a
+        camera model: per-leaf 1/f fractal texture, correlated (low-
+        saturation) color palette, optical Gaussian blur, and Poisson-
+        Gaussian sensor noise. Parameters are tuned so the WebP
+        rate-distortion curve of the corpus matches the bundled REAL
+        photographic patches (data/real_patches.py) within ~1 dB at every
+        quality — the closest photographic-statistics stand-in this
+        environment can produce (round-5; the plain ``dead_leaves`` kind
+        is ~7 dB harder than photographs and ``waves`` ~8 dB easier).
+      * ``mixed`` — alternates waves and dead_leaves per index.
     """
 
-    KINDS = ("waves", "dead_leaves", "mixed")
+    KINDS = ("waves", "dead_leaves", "natural", "mixed")
 
     def __init__(self, n: int = 256, image_size: int = 64, seed: int = 0,
                  kind: str = "waves"):
@@ -175,13 +184,95 @@ class SyntheticImageDataset:
         t = self.image_size
         return img.reshape(t, ss, t, ss, 3).mean(axis=(1, 3))
 
+    def _natural(self, rng: np.random.Generator) -> np.ndarray:
+        """Dead-leaves structure through a camera model (see class docstring).
+
+        Four stages, each carrying one statistic of photographs the plain
+        generators miss:
+          1. occlusion skeleton with a CORRELATED palette — leaf colors are
+             a shared low-saturation chroma axis plus a wide luma spread
+             (photographic RGB channels correlate ~0.9; independent uniform
+             leaf colors give chroma energy no codec budget expects);
+          2. per-leaf 1/f fractal micro-texture (foliage/fabric/skin detail
+             — the scale-invariant spectrum measured in natural images);
+          3. optical blur: Gaussian PSF, sigma varied per image (lens +
+             anti-alias filter; also what keeps occlusion edges at
+             photographic sharpness instead of single-pixel steps);
+          4. Poisson-Gaussian sensor noise (signal-dependent shot noise +
+             read noise) — the grain a restoration model must learn to
+             PRESERVE: with noise in the clean target x0, smoothing it
+             away is penalized by the loss, which is exactly the failure
+             mode of the waves-trained teachers on real photos
+             (results/r3/webp_real_auto, results/r4/webp_real_auto_r4).
+        """
+        ss = 2  # supersampling: blur provides the antialiasing, 2x suffices
+        s = self.image_size * ss
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        # 1/f fractal field, one per image, unit std (FFT synthesis)
+        f = np.fft.rfftfreq(s)[None, :] ** 2 + np.fft.fftfreq(s)[:, None] ** 2
+        amp = np.where(f > 0, 1.0 / np.sqrt(f + 1e-12) ** 1.2, 0.0)
+        spec = amp * (rng.standard_normal(amp.shape)
+                      + 1j * rng.standard_normal(amp.shape))
+        tex = np.fft.irfft2(spec, s=(s, s)).astype(np.float32)
+        tex /= tex.std() + 1e-8
+        # correlated palette: shared chroma axis, low saturation
+        chroma_axis = rng.standard_normal(3).astype(np.float32)
+        chroma_axis /= np.linalg.norm(chroma_axis) + 1e-8
+        base_luma = rng.uniform(-0.35, 0.35)
+        img = np.empty((s, s, 3), np.float32)
+        luma0 = base_luma + rng.uniform(-0.5, 0.5)
+        img[...] = luma0 + chroma_axis[None, None, :] * rng.uniform(-0.25, 0.25)
+        covered = np.zeros((s, s), bool)
+        # Parameters below (r_min, blur, texture amplitude, noise sigmas)
+        # are the round-5 sweep winners: mean |PSNR gap| to the real-patch
+        # WebP RD curve = 0.47 dB over q in {0,10,30,50,70,90} (sweep in
+        # results/r5/natural_corpus_calibration.md).
+        r_min, r_max = 0.10 * s, 0.7 * s
+        inv2 = lambda u: 1.0 / np.sqrt((1 - u) / r_min**2 + u / r_max**2)
+        for _ in range(220):
+            r = inv2(rng.uniform())
+            cx, cy = rng.uniform(-0.1 * s, 1.1 * s, 2)
+            leaf = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+            fresh = leaf & ~covered
+            if not fresh.any():
+                continue
+            luma = base_luma + rng.uniform(-0.5, 0.5)
+            col = (luma + chroma_axis * rng.uniform(-0.3, 0.3)
+                   + rng.uniform(-0.06, 0.06, 3)).astype(np.float32)
+            gx, gy = rng.uniform(-0.25, 0.25, 2) / max(r, 1.0)
+            shade = (gx * (xx - cx) + gy * (yy - cy)).astype(np.float32)
+            t_amp = rng.uniform(0.0, 0.10)
+            img[fresh] = (col[None, :]
+                          + (shade + t_amp * tex)[fresh, None])
+            covered |= leaf
+            if covered.mean() > 0.995:
+                break
+        # optical blur at capture resolution, then box-downsample
+        from scipy.ndimage import gaussian_filter
+
+        sigma = rng.uniform(1.2, 2.6) * ss / 2.0
+        img = gaussian_filter(img, sigma=(sigma, sigma, 0))
+        t = self.image_size
+        img = img.reshape(t, ss, t, ss, 3).mean(axis=(1, 3))
+        img = np.clip(img, -1, 1)
+        # Poisson-Gaussian sensor noise in [0,1] luminance units
+        lum01 = (img + 1.0) * 0.5
+        sigma_read = rng.uniform(0.002, 0.006)
+        sigma_shot = rng.uniform(0.003, 0.010)
+        noise_std = sigma_read + sigma_shot * np.sqrt(np.clip(lum01, 0.0, 1.0))
+        img = img + 2.0 * noise_std * rng.standard_normal(img.shape).astype(
+            np.float32
+        )
+        return img.astype(np.float32)
+
     def __getitem__(self, idx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 100003 + idx)
         kind = self.kind
         if kind == "mixed":
             kind = "dead_leaves" if idx % 2 else "waves"
-        img = self._dead_leaves(rng) if kind == "dead_leaves" else self._waves(rng)
-        return np.clip(img, -1, 1).astype(np.float32)
+        gen = {"waves": self._waves, "dead_leaves": self._dead_leaves,
+               "natural": self._natural}[kind]
+        return np.clip(gen(rng), -1, 1).astype(np.float32)
 
 
 def split_indices(

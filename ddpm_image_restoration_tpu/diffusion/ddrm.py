@@ -84,6 +84,72 @@ def quality_gated_blend(
     return w * restored.astype(jnp.float32) + (1.0 - w) * y.astype(jnp.float32)
 
 
+# Expected codec damage D(q): RMS of (codec(x0) - x0) in [-1,1] units,
+# measured on the photographic-statistics `natural` corpus (n=32, 64^2,
+# results/r5/natural_corpus_calibration.md; real-patch WebP spot-check
+# agrees within ~0.003 RMS except q0 where natural is conservative).
+# The trust-region blend below uses this as the per-quality trust radius.
+_DAMAGE_Q = np.array([0.0, 5.0, 10.0, 20.0, 30.0, 50.0, 70.0, 90.0, 100.0])
+_DAMAGE_RMS = {
+    "webp": np.array([0.0909, 0.0656, 0.0598, 0.0533, 0.0483,
+                      0.0417, 0.0362, 0.0248, 0.0192]),
+    "jpeg": np.array([0.1480, 0.1115, 0.0791, 0.0563, 0.0469,
+                      0.0323, 0.0272, 0.0211, 0.0077]),
+    "avif": np.array([0.1201, 0.1011, 0.0870, 0.0651, 0.0547,
+                      0.0366, 0.0244, 0.0158, 0.0064]),
+}
+
+
+def residual_trust_blend(
+    restored: jnp.ndarray,
+    y: jnp.ndarray,
+    quality,
+    codec: str,
+    beta: float = 2.0,
+    window: int = 8,
+) -> jnp.ndarray:
+    """Content-aware protection (round 5; NOT in the reference): cap the
+    restoration residual's LOCAL energy at beta x the calibrated damage the
+    codec plausibly inflicted at this quality.
+
+    Rationale (VERDICT r4 missing #1 / next #1b): the quality-gated blend
+    protects near-lossless inputs but fades restoration out by quality
+    ALONE — it cannot distinguish a grain-dominated crop (where the model's
+    rewrite is damage) from a blocked textured crop at the same quality
+    (where it is restoration). The failure mode on real photographs is the
+    model smoothing sensor grain: a rewrite whose local RMS far exceeds
+    what codec(quality) could have destroyed. So per 8x8 window:
+
+        w = min(1, beta * D(q) / rms_local(restored - y))
+        out = y + w * (restored - y)
+
+    with D(q) the calibrated RMS codec error at quality q (_DAMAGE_RMS).
+    Legitimate restorations have rms(r) ~ D(q) -> w = min(1, beta) = 1;
+    grain-smoothing rewrites at high quality have rms(r) >> D(q) -> shrunk.
+    Never amplifies (w <= 1), spatially adaptive, quality-aware through
+    D(q), and costs two pooling ops — no extra model evaluations.
+
+    `quality` is a scalar or per-sample [B] vector. Window edges: H, W are
+    padded implicitly by average-pooling on the full window grid (model
+    inputs are multiples of 8 everywhere in this framework)."""
+    r = restored.astype(jnp.float32) - y.astype(jnp.float32)
+    b, h, w_, c = r.shape
+    q = jnp.broadcast_to(jnp.asarray(quality, jnp.float32).reshape(-1), (b,))
+    d = jnp.interp(q, jnp.asarray(_DAMAGE_Q, jnp.float32),
+                   jnp.asarray(_DAMAGE_RMS[codec], jnp.float32))
+    hw, ww = h // window, w_ // window
+    local_rms = jnp.sqrt(
+        (r[:, : hw * window, : ww * window, :] ** 2)
+        .reshape(b, hw, window, ww, window, c)
+        .mean(axis=(2, 4, 5))
+        + 1e-12
+    )
+    w = jnp.minimum(1.0, beta * d[:, None, None] / local_rms)  # [B, hw, ww]
+    # smooth upsample of the weight map (bilinear) to avoid window seams
+    w_full = jax.image.resize(w, (b, h, w_), method="linear")
+    return y.astype(jnp.float32) + w_full[..., None] * r
+
+
 def make_consistency_fn(
     codec: str, mode: str = "surrogate"
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
@@ -676,6 +742,7 @@ class DDRMSampler:
         eta_b: Optional[float] = None,
         stride: int = 1,
         protect: Optional[tuple] = None,
+        protect_adaptive: Optional[float] = None,
         encoder_reuse: int = 1,
         decoder_reuse_depth: int = 0,
         final_exact: Optional[bool] = None,
@@ -784,4 +851,11 @@ class DDRMSampler:
         if protect is not None:
             lo, hi = protect
             out = quality_gated_blend(out, y, quality, float(lo), float(hi))
+        if protect_adaptive is not None:
+            # content-aware trust region (see residual_trust_blend): caps the
+            # rewrite's local energy at beta x the calibrated codec damage
+            # D(quality) — composes with `protect` (applied after it).
+            out = residual_trust_blend(
+                out, y, quality, self.preset.name, beta=float(protect_adaptive)
+            )
         return out

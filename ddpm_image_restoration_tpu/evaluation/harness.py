@@ -68,6 +68,7 @@ def evaluate_restoration(
     prediction: str = "direct",
     stride: int = 1,
     protect=None,
+    protect_adaptive=None,
     encoder_reuse: int = 1,
     decoder_reuse_depth: int = 0,
     ensemble: int = 1,
@@ -199,6 +200,7 @@ def evaluate_restoration(
                                 init_t,
                                 n_transforms=ensemble, key=sub,
                                 stride=stride, protect=q_protect,
+                                protect_adaptive=protect_adaptive,
                                 encoder_reuse=q_enc_reuse,
                                 decoder_reuse_depth=decoder_reuse_depth,
                                 final_exact=final_exact,
@@ -255,6 +257,8 @@ def evaluate_restoration(
         row["solver_eta"] = None if q_eta is None else float(q_eta)
         row["solver_protect"] = (None if q_protect is None
                                  else [float(v) for v in q_protect])
+        row["solver_protect_adaptive"] = (
+            None if protect_adaptive is None else float(protect_adaptive))
         results[str(quality)] = row
         if verbose:
             print(

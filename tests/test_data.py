@@ -169,6 +169,25 @@ def test_dead_leaves_generator():
     assert g(a) > g(waves)
 
 
+def test_natural_generator():
+    """The round-5 photographic-statistics corpus: deterministic, in-range,
+    noisy (sensor grain present: high-frequency residual energy well above
+    the blur-dominated dead-leaves kind at matched seed), and its WebP
+    compressibility sits in the photographic band — far easier than raw
+    dead_leaves (results/r5/natural_corpus_calibration.md pins the full
+    RD-curve match at 64^2; this is the cheap structural invariant)."""
+    ds = SyntheticImageDataset(4, 32, seed=3, kind="natural")
+    a, b = ds[0], ds[1]
+    assert a.shape == (32, 32, 3) and a.dtype == np.float32
+    assert np.abs(a).max() <= 1.0
+    assert np.abs(a - b).mean() > 1e-3
+    np.testing.assert_array_equal(a, ds[0])
+    # grain: pixel-to-pixel Laplacian energy must be nonzero everywhere
+    # (sensor noise floor), unlike the blur-free smooth interiors of waves
+    lap = np.abs(np.diff(a, 2, axis=0))
+    assert float(np.median(lap)) > 1e-4
+
+
 def test_mixed_generator_alternates():
     ds = SyntheticImageDataset(4, 16, seed=0, kind="mixed")
     w = SyntheticImageDataset(4, 16, seed=0, kind="waves")

@@ -105,6 +105,66 @@ def test_quality_gated_protect(y32):
     )
 
 
+def test_residual_trust_blend(y32):
+    """Content-aware protection: residual energy within beta*D(q) passes
+    through untouched; an oversized rewrite is shrunk toward y; the weight
+    map is spatially adaptive (only the violating window shrinks); a
+    per-sample quality vector broadcasts."""
+    from ddpm_image_restoration_tpu.diffusion.ddrm import (
+        _DAMAGE_Q,
+        _DAMAGE_RMS,
+        residual_trust_blend,
+    )
+
+    y = np.asarray(y32)
+    d30 = float(np.interp(30.0, _DAMAGE_Q, _DAMAGE_RMS["webp"]))
+    # 1. small legit restoration: rms(r) = 0.5*beta*D -> w = 1 everywhere
+    r_small = np.full_like(y, 0.5 * 2.0 * d30)
+    out = residual_trust_blend(jnp.asarray(y + r_small), jnp.asarray(y),
+                               30.0, "webp", beta=2.0)
+    np.testing.assert_allclose(np.asarray(out), y + r_small, atol=1e-5)
+    # 2. oversized rewrite at q90: shrunk toward y (residual capped at
+    # beta*D(90) local RMS)
+    d90 = float(np.interp(90.0, _DAMAGE_Q, _DAMAGE_RMS["webp"]))
+    big = np.full_like(y, 10.0 * d90)
+    out = np.asarray(residual_trust_blend(jnp.asarray(y + big), jnp.asarray(y),
+                                          90.0, "webp", beta=2.0))
+    resid = out - y
+    assert np.abs(resid).max() < np.abs(big).max() * 0.35  # strongly shrunk
+    assert np.abs(resid).max() > 0  # not zeroed — a capped rewrite survives
+    # 3. spatial adaptivity: violate only the top-left 8x8 window
+    r_sp = np.full_like(y, 0.25 * d30)
+    r_sp[:, :8, :8, :] = 10.0 * d30
+    out = np.asarray(residual_trust_blend(jnp.asarray(y + r_sp), jnp.asarray(y),
+                                          30.0, "webp", beta=2.0))
+    resid = out - y
+    # far corner untouched (bilinear weight upsample leaves it at w=1)
+    np.testing.assert_allclose(resid[:, 16:, 16:, :], r_sp[:, 16:, 16:, :],
+                               atol=1e-4)
+    assert np.abs(resid[:, :8, :8, :]).mean() < np.abs(r_sp[:, :8, :8, :]).mean() * 0.5
+    # 4. per-sample quality vector: sample 0 protected harder than sample 1
+    qv = jnp.asarray([95.0, 5.0])
+    big2 = np.full_like(y[:2], 0.15)
+    out = np.asarray(residual_trust_blend(jnp.asarray(y[:2] + big2),
+                                          jnp.asarray(y[:2]), qv, "webp",
+                                          beta=2.0))
+    shrink = np.abs(out - y[:2]).mean(axis=(1, 2, 3))
+    assert shrink[0] < shrink[1]
+
+
+def test_sampler_protect_adaptive_epilogue(y32):
+    """sample(protect_adaptive=beta) applies the trust blend: with a
+    zero-consistency zero-model sampler the restoration equals y, so the
+    epilogue must be exactly identity (w=1 at zero residual)."""
+    preset = get_preset("webp")
+    sampler = DDRMSampler(_ZeroModel(), preset)
+    sampler.consistency = lambda x, q: jnp.zeros_like(x)
+    sampler._compiled.clear()
+    out = sampler.sample(None, y32, quality=50, steps=3, eta=0.0,
+                         protect_adaptive=2.0, final_exact=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y32), atol=1e-5)
+
+
 @pytest.mark.slow
 def test_ddrm_real_model_smoke(y32):
     model = build_model("webp", TINY)
