@@ -25,17 +25,21 @@ sys.path.insert(0, os.path.join(
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("root", help="results dir holding <codec>_{sg,hl}_s1/")
+    ap.add_argument("root", help="results dir holding <codec>_{sg,hl}_<suffix>/")
     ap.add_argument("--bar", type=float, default=0.1)
+    ap.add_argument("--suffix", default="s1",
+                    help="run-name suffix: s1 (stride-1 grid) or s5 "
+                         "(stride-5 matched-config re-measure)")
     args = ap.parse_args(argv)
 
-    print("| codec | q | surrogate s1 (dB) | host_loop s1 (dB) | delta | ≤0.1 dB? |")
+    sfx = args.suffix
+    print(f"| codec | q | surrogate {sfx} (dB) | host_loop {sfx} (dB) | delta | ≤0.1 dB? |")
     print("|---|---|---|---|---|---|")
     missing, verdicts = [], []
     for codec in ("jpeg", "webp", "avif"):
         pair = {}
         for kind in ("sg", "hl"):
-            p = os.path.join(args.root, f"{codec}_{kind}_s1",
+            p = os.path.join(args.root, f"{codec}_{kind}_{sfx}",
                              "metrics_summary.json")
             if not os.path.exists(p):
                 missing.append(p)  # keep scanning: report ALL missing files
