@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--npz", default="artifacts_release/all_teacher_r3.npz")
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--prediction", default="direct",
+                    choices=["direct", "residual"],
+                    help="sampler interpretation of the model output "
+                         "(quirk #7: reference uses 'direct' even though "
+                         "training makes the model a residual predictor)")
     args = ap.parse_args(argv)
 
     import jax
@@ -88,6 +93,7 @@ def main(argv=None) -> int:
                        compute_dtype="float32", codec_conditioning=True)
     model = build_model("all", mcfg)
     sampler = DDRMSampler(model, preset, "surrogate",
+                          prediction=args.prediction,
                           codec_id=codec_index("avif"))
 
     pc = production_solver_config(q, "avif")
