@@ -89,6 +89,12 @@ def main(argv=None):
                          "stages + head (DeepCache-style)")
     ap.add_argument("--protect", type=float, nargs=2, default=None, metavar=("LO", "HI"),
                     help="quality-gated blend protecting near-lossless inputs")
+    ap.add_argument("--protect-adaptive", type=float, default=None,
+                    metavar="BETA",
+                    help="content-aware trust-region protection: cap the "
+                         "restoration residual's local RMS at BETA x the "
+                         "calibrated codec damage D(quality) "
+                         "(ddrm.py residual_trust_blend)")
     ap.add_argument("--ensemble", type=int, default=1, choices=[1, 2, 4, 8],
                     help="dihedral test-time self-ensemble: average the "
                          "restorations of N flip/rotation variants "
@@ -292,7 +298,8 @@ def main(argv=None):
                                 stride=stride,
                                 encoder_reuse=args.encoder_reuse,
                                 decoder_reuse_depth=args.decoder_reuse_depth,
-                                protect=tuple(args.protect) if args.protect else None)
+                                protect=tuple(args.protect) if args.protect else None,
+                                protect_adaptive=args.protect_adaptive)
             )
 
         return with_dp(restore_batch)

@@ -92,6 +92,11 @@ def main(argv=None):
                          "decoder stages across each reuse group, "
                          "recomputing only the last N high-resolution "
                          "stages + head (DeepCache-style)")
+    ap.add_argument("--protect-adaptive", type=float, default=None,
+                    metavar="BETA",
+                    help="content-aware trust-region protection (cap local "
+                         "rewrite at BETA x calibrated codec damage; "
+                         "ddrm.py residual_trust_blend)")
     ap.add_argument("--protect", type=float, nargs=2, default=None,
                     metavar=("LO", "HI"),
                     help="quality-gated blend protecting near-lossless inputs "
@@ -335,6 +340,7 @@ def main(argv=None):
                     sampler.sample(params, jnp.asarray(batch), q,
                                    it, key=sub, stride=b_stride,
                                    protect=b_protect,
+                                   protect_adaptive=args.protect_adaptive,
                                    encoder_reuse=b_enc, eta=b_eta,
                                    decoder_reuse_depth=args.decoder_reuse_depth)
                 )
@@ -405,6 +411,7 @@ def main(argv=None):
         out = sampler.sample(params, place(imgs), q, it_arg,
                              key=sub, stride=b_stride,
                              protect=b_protect,
+                             protect_adaptive=args.protect_adaptive,
                              encoder_reuse=b_enc, eta=b_eta,
                              traced_budget=traced_budget,
                              decoder_reuse_depth=args.decoder_reuse_depth)
