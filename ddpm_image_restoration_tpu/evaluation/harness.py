@@ -260,6 +260,14 @@ def evaluate_restoration(
         row["solver_protect_adaptive"] = (
             None if protect_adaptive is None else float(protect_adaptive))
         results[str(quality)] = row
+        # Checkpoint the summary after EVERY quality (atomic rename): a
+        # timed-out run then salvages its completed rows with n/CIs intact
+        # instead of leaving only the streaming log lines (round-5 lesson:
+        # jpeg n=256 lost 2 finished qualities to a queue timeout).
+        _write_summary(cfg, preset, images, cfg_stride, max_evals,
+                       encoder_reuse, solver, traced, final_exact, eta, eta_b,
+                       init_t_override, phase_threshold, lpips_fn, results,
+                       partial=True)
         if verbose:
             print(
                 f"q={quality:3d}: PSNR {row['compressed_psnr']:.2f}->{row['restored_psnr']:.2f} "
@@ -267,6 +275,22 @@ def evaluate_restoration(
                 f"({row['images_per_sec']:.2f} img/s)"
             )
 
+    summary = _write_summary(cfg, preset, images, cfg_stride, max_evals,
+                             encoder_reuse, solver, traced, final_exact, eta,
+                             eta_b, init_t_override, phase_threshold, lpips_fn,
+                             results, partial=False)
+    if verbose:
+        print(format_comparative_table(summary))
+    plot_metric_panels(summary, os.path.join(cfg.output_dir, "metric_panels.png"))
+    return summary
+
+
+def _write_summary(cfg, preset, images, cfg_stride, max_evals, encoder_reuse,
+                   solver, traced, final_exact, eta, eta_b, init_t_override,
+                   phase_threshold, lpips_fn, results, partial):
+    """Assemble and atomically write metrics_summary.json. `partial=True`
+    marks an in-progress checkpoint (quality loop not finished) so table
+    consumers can label salvage rows; the final write clears the flag."""
     summary = {
         "codec": preset.name,
         "num_images": int(len(images)),
@@ -290,11 +314,13 @@ def evaluate_restoration(
         "lpips_kind": lpips_fn.name,
         "results": results,
     }
-    with open(os.path.join(cfg.output_dir, "metrics_summary.json"), "w") as f:
+    if partial:
+        summary["partial"] = True
+    path = os.path.join(cfg.output_dir, "metrics_summary.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(summary, f, indent=2)
-    if verbose:
-        print(format_comparative_table(summary))
-    plot_metric_panels(summary, os.path.join(cfg.output_dir, "metric_panels.png"))
+    os.replace(tmp, path)
     return summary
 
 
