@@ -10,6 +10,20 @@ import numpy as np
 from ddpm_image_restoration_tpu.cli.common import configure_jax_cache, add_model_flags, eval_config_from
 
 
+def _parse_protect_adaptive(v):
+    """--protect-adaptive BETA: a float trust multiplier, or 'auto' = the
+    calibrated quality-tapered real-photo schedule (policy.REAL_PHOTO_TRUST)."""
+    if v is None:
+        return None
+    if isinstance(v, str) and v.lower() == "auto":
+        from ddpm_image_restoration_tpu.diffusion.policy import (
+            REAL_PHOTO_TRUST,
+        )
+
+        return REAL_PHOTO_TRUST
+    return float(v)
+
+
 def main(argv=None):
     import jax
 
@@ -80,7 +94,7 @@ def main(argv=None):
                          "recomputation of the FINAL consistency projection "
                          "(on by default; off = pure-device output, inherits "
                          "the surrogate-vs-real mismatch at high qualities)")
-    ap.add_argument("--protect-adaptive", type=float, default=None,
+    ap.add_argument("--protect-adaptive", default=None,
                     metavar="BETA",
                     help="content-aware trust-region protection: cap the "
                          "restoration residual's local RMS at BETA x the "
@@ -187,7 +201,8 @@ def main(argv=None):
                          max_evals=args.max_evals,
                          final_exact=False if args.no_final_exact else None,
                          protect=tuple(args.protect) if args.protect else None,
-                         protect_adaptive=args.protect_adaptive,
+                         protect_adaptive=_parse_protect_adaptive(
+                             args.protect_adaptive),
                          eta=args.eta, eta_b=args.eta_b,
                          init_t_override=args.init_t,
                          phase_threshold=args.phase_threshold,

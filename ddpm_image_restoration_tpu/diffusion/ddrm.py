@@ -129,12 +129,27 @@ def residual_trust_blend(
     Never amplifies (w <= 1), spatially adaptive, quality-aware through
     D(q), and costs two pooling ops — no extra model evaluations.
 
+    `beta` is a scalar, or a (q_knots, beta_knots) pair interpolated at each
+    sample's quality. The round-5 real-patch measurement
+    (results/r5/probe_real_rewrite.log + the q90 beta sweep) shows the
+    model's rewrite magnitude is roughly quality-INDEPENDENT (~0.0067 RMS
+    local) while the true codec damage shrinks with quality — so the
+    rewrite's signal-to-noise falls with quality and the optimal trust
+    radius tapers: beta 0.25-0.5 maximises real-patch gains at q10-q50
+    but q90 only turns positive at beta~0.1 (shrinkage estimation: when
+    the rewrite's SNR < 1, scaling it toward zero improves MSE). The
+    calibrated schedule lives in diffusion/policy.py REAL_PHOTO_TRUST.
+
     `quality` is a scalar or per-sample [B] vector. Window edges: H, W are
     padded implicitly by average-pooling on the full window grid (model
     inputs are multiples of 8 everywhere in this framework)."""
     r = restored.astype(jnp.float32) - y.astype(jnp.float32)
     b, h, w_, c = r.shape
     q = jnp.broadcast_to(jnp.asarray(quality, jnp.float32).reshape(-1), (b,))
+    if isinstance(beta, tuple):
+        qk, bk = beta
+        beta = jnp.interp(q, jnp.asarray(qk, jnp.float32),
+                          jnp.asarray(bk, jnp.float32))[:, None, None]
     d = jnp.interp(q, jnp.asarray(_DAMAGE_Q, jnp.float32),
                    jnp.asarray(_DAMAGE_RMS[codec], jnp.float32))
     hw, ww = h // window, w_ // window
@@ -855,7 +870,9 @@ class DDRMSampler:
             # content-aware trust region (see residual_trust_blend): caps the
             # rewrite's local energy at beta x the calibrated codec damage
             # D(quality) — composes with `protect` (applied after it).
+            pa = (protect_adaptive if isinstance(protect_adaptive, tuple)
+                  else float(protect_adaptive))
             out = residual_trust_blend(
-                out, y, quality, self.preset.name, beta=float(protect_adaptive)
+                out, y, quality, self.preset.name, beta=pa
             )
         return out

@@ -98,3 +98,19 @@ def production_solver_config(quality, codec: str = None) -> Dict[str, object]:
     if protect is not None:
         cfg["protect"] = protect
     return cfg
+
+
+# Calibrated quality-tapered trust schedule for REAL-PHOTOGRAPH serving
+# (diffusion/ddrm.py residual_trust_blend with beta=REAL_PHOTO_TRUST).
+# Measured on the held-out real patch split with the r5 natural-corpus
+# teacher (results/r5/probe_real_rewrite.log, q90 beta sweep in the round-5
+# session log): the model's rewrite magnitude is ~quality-independent while
+# true codec damage shrinks with quality, so the trust radius tapers.
+# beta 0.25 maximises q10/q50 gains (+0.09/+0.12 offline); q90 turns
+# positive only at beta ~0.1. NOT the blanket production default: the
+# synthetic-corpus tables are measured without it, and a capped rewrite
+# necessarily trades some peak synthetic gain for real-photo safety.
+REAL_PHOTO_TRUST = (
+    (0.0, 30.0, 50.0, 70.0, 90.0, 100.0),
+    (0.30, 0.25, 0.25, 0.18, 0.10, 0.08),
+)

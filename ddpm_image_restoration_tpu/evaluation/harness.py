@@ -258,7 +258,10 @@ def evaluate_restoration(
         row["solver_protect"] = (None if q_protect is None
                                  else [float(v) for v in q_protect])
         row["solver_protect_adaptive"] = (
-            None if protect_adaptive is None else float(protect_adaptive))
+            None if protect_adaptive is None
+            else [list(map(float, k)) for k in protect_adaptive]
+            if isinstance(protect_adaptive, tuple)
+            else float(protect_adaptive))
         results[str(quality)] = row
         # Checkpoint the summary after EVERY quality (atomic rename): a
         # timed-out run then salvages its completed rows with n/CIs intact

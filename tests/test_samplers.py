@@ -152,6 +152,22 @@ def test_residual_trust_blend(y32):
     assert shrink[0] < shrink[1]
 
 
+def test_trust_blend_beta_schedule(y32):
+    """beta as (q_knots, beta_knots): the interpolated radius tapers with
+    quality, so the same oversized rewrite keeps more residual at q10 than
+    at q90 (policy.REAL_PHOTO_TRUST shape)."""
+    from ddpm_image_restoration_tpu.diffusion.ddrm import residual_trust_blend
+    from ddpm_image_restoration_tpu.diffusion.policy import REAL_PHOTO_TRUST
+
+    y = np.asarray(y32)[:2]
+    big = np.full_like(y, 0.05)
+    out = np.asarray(residual_trust_blend(
+        jnp.asarray(y + big), jnp.asarray(y), jnp.asarray([10.0, 90.0]),
+        "webp", beta=REAL_PHOTO_TRUST))
+    kept = np.abs(out - y).mean(axis=(1, 2, 3))
+    assert kept[0] > kept[1] > 0
+
+
 def test_sampler_protect_adaptive_epilogue(y32):
     """sample(protect_adaptive=beta) applies the trust blend: with a
     zero-consistency zero-model sampler the restoration equals y, so the
